@@ -1,0 +1,393 @@
+"""64-bit modular arithmetic as paired uint32 limbs for the TPU VPU.
+
+TPUs have no 64-bit integer multiply, so every 64-bit field element is carried
+as a pair of uint32 arrays ``U64(hi, lo)`` and products are assembled from
+16-bit partial products (4 native uint32 multiplies per 32x32->64).  This
+module is the TPU-native re-design of the reference's modmul engines:
+
+* ``mont_mul`` / ``mont_mul_full``  <-  PAdic64 Montgomery ("p-adic") multiply
+  (reference include/sventt/modmul/scalar/p-adic-64.hpp:35-45 and
+  include/sventt/modmul/sve/p-adic-64.hpp:76-115).
+* ``shoup_mul``  <-  FixedPoint64 Shoup multiply
+  (reference include/sventt/modmul/scalar/fixed-point-64.hpp:48-55).
+* ``add_lazy`` / ``sub_lazy``  <-  the lazy [0, 2N) add/subtract with the
+  branchless min-trick (reference modmul/sve/p-adic-64.hpp:40-62).
+* ``butterfly_forward`` / ``butterfly_inverse`` / ``butterfly_inverse_scaled``
+  <-  the DIF/DIT butterflies that live on the modmul engine in the reference
+  (modmul/sve/p-adic-64.hpp:117-246), including the double-twiddle variant
+  that folds the 1/m inverse scaling into the final layer (:180-223).
+
+Everything here is shape-polymorphic pure ``jnp`` and runs identically under
+XLA on CPU/TPU and inside Pallas kernels (it is the body of the Pallas inner
+NTT in sventt_tpu/ops/ntt_pallas.py).
+
+Range discipline (SURVEY.md section 4.2):  with ``lazy=True`` (requires
+``bit_width(N) <= 62``) values live in the redundant range [0, 2N) and the
+harness compares residues mod N; ``lazy=False`` keeps canonical [0, N) with
+carry-aware paths and supports moduli up to 2^64 (the flagship modulus
+``2^64 - 1827*2^32 + 1`` is 64-bit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .modulus import MASK32, MASK64, Modulus
+
+_U32 = jnp.uint32
+
+
+class U64(NamedTuple):
+    """A 64-bit unsigned integer as two uint32 limb arrays (hi, lo).
+
+    Registered as a pytree via NamedTuple, so U64 values flow through jit,
+    shard_map and pallas_call transparently.
+    """
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.lo.shape
+
+    def astype_u64(self) -> np.ndarray:
+        """Host-side: collapse to a numpy uint64 array (for tests/IO)."""
+        return (np.asarray(self.hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+            self.lo, dtype=np.uint64
+        )
+
+
+def u64_from_int(value: int, shape=(), dtype=_U32) -> U64:
+    """Broadcast a Python int constant to a U64 of the given shape."""
+    value &= MASK64
+    hi = jnp.full(shape, np.uint32(value >> 32), dtype=dtype)
+    lo = jnp.full(shape, np.uint32(value & MASK32), dtype=dtype)
+    return U64(hi, lo)
+
+
+def u64_from_numpy(arr) -> U64:
+    """Split a numpy uint64 (or object/int) array into uint32 limb pairs."""
+    a = np.asarray(arr, dtype=np.uint64)
+    return U64(
+        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray(a.astype(np.uint32)),
+    )
+
+
+def u64_to_numpy(x: U64) -> np.ndarray:
+    return x.astype_u64()
+
+
+# ---------------------------------------------------------------------------
+# 32-bit primitive products
+# ---------------------------------------------------------------------------
+
+
+def mul32_wide(a, b) -> U64:
+    """32x32 -> 64 full product via 16-bit partials (4 VPU multiplies).
+
+    The TPU analogue of SVE's svmul/svmulh pair
+    (reference modmul/sve/p-adic-64.hpp:76-95 uses hardware 64-bit svmulh;
+    the TPU VPU is 32-bit so we assemble from u16 halves).
+    """
+    a_lo = a & _U32(0xFFFF)
+    a_hi = a >> _U32(16)
+    b_lo = b & _U32(0xFFFF)
+    b_hi = b >> _U32(16)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = lh + hl
+    mid_carry = (mid < lh).astype(_U32)  # carry into bit 48 => 2^16 in hi
+    lo = ll + (mid << _U32(16))
+    lo_carry = (lo < ll).astype(_U32)
+    hi = hh + (mid >> _U32(16)) + (mid_carry << _U32(16)) + lo_carry
+    return U64(hi, lo)
+
+
+def mulhi32(a, b):
+    """High 32 bits of a 32x32 product."""
+    return mul32_wide(a, b).hi
+
+
+# ---------------------------------------------------------------------------
+# u64 add/sub/compare
+# ---------------------------------------------------------------------------
+
+
+def u64_add(a: U64, b: U64) -> U64:
+    """(a + b) mod 2^64."""
+    lo = a.lo + b.lo
+    carry = (lo < a.lo).astype(_U32)
+    return U64(a.hi + b.hi + carry, lo)
+
+
+def u64_add_carry(a: U64, b: U64):
+    """(a + b) mod 2^64 plus the carry-out bit (uint32 0/1)."""
+    lo = a.lo + b.lo
+    c0 = (lo < a.lo).astype(_U32)
+    hi = a.hi + b.hi
+    c1 = (hi < a.hi).astype(_U32)
+    hi = hi + c0
+    c2 = (hi < c0).astype(_U32)
+    return U64(hi, lo), c1 | c2
+
+
+def u64_sub(a: U64, b: U64) -> U64:
+    """(a - b) mod 2^64."""
+    lo = a.lo - b.lo
+    borrow = (a.lo < b.lo).astype(_U32)
+    return U64(a.hi - b.hi - borrow, lo)
+
+
+def u64_sub_borrow(a: U64, b: U64):
+    """(a - b) mod 2^64 plus the borrow-out bit (uint32 0/1)."""
+    lo = a.lo - b.lo
+    b0 = (a.lo < b.lo).astype(_U32)
+    hi = a.hi - b.hi
+    b1 = (a.hi < b.hi).astype(_U32)
+    b2 = (hi < b0).astype(_U32)
+    return U64(hi - b0, lo), b1 | b2
+
+
+def u64_lt(a: U64, b: U64):
+    """a < b as a bool array."""
+    return (a.hi < b.hi) | ((a.hi == b.hi) & (a.lo < b.lo))
+
+
+def u64_geq(a: U64, b: U64):
+    return ~u64_lt(a, b)
+
+
+def u64_select(pred, a: U64, b: U64) -> U64:
+    """pred ? a : b, elementwise."""
+    return U64(jnp.where(pred, a.hi, b.hi), jnp.where(pred, a.lo, b.lo))
+
+
+def u64_min(a: U64, b: U64) -> U64:
+    """Unsigned 64-bit minimum -- the branchless lazy-reduction workhorse
+    (the TPU analogue of the reference's svmin trick,
+    modmul/sve/p-adic-64.hpp:101-115)."""
+    return u64_select(u64_lt(a, b), a, b)
+
+
+def u64_eq_zero(a: U64):
+    return (a.hi | a.lo) == _U32(0)
+
+
+# ---------------------------------------------------------------------------
+# u64 multiplies
+# ---------------------------------------------------------------------------
+
+
+def u64_mullo(a: U64, b: U64) -> U64:
+    """Low 64 bits of a*b (6 VPU multiplies)."""
+    p00 = mul32_wide(a.lo, b.lo)
+    hi = p00.hi + a.lo * b.hi + a.hi * b.lo
+    return U64(hi, p00.lo)
+
+
+def u64_mul_wide(a: U64, b: U64) -> tuple[U64, U64]:
+    """Full 128-bit product as (hi64, lo64) (16 VPU multiplies)."""
+    p00 = mul32_wide(a.lo, b.lo)
+    p01 = mul32_wide(a.lo, b.hi)
+    p10 = mul32_wide(a.hi, b.lo)
+    p11 = mul32_wide(a.hi, b.hi)
+    # limb 1: p00.hi + p01.lo + p10.lo
+    w1 = p00.hi + p01.lo
+    c1 = (w1 < p00.hi).astype(_U32)
+    w1b = w1 + p10.lo
+    c1 = c1 + (w1b < w1).astype(_U32)
+    # limb 2: p01.hi + p10.hi + p11.lo + c1
+    w2 = p01.hi + p10.hi
+    c2 = (w2 < p01.hi).astype(_U32)
+    w2b = w2 + p11.lo
+    c2 = c2 + (w2b < w2).astype(_U32)
+    w2c = w2b + c1
+    c2 = c2 + (w2c < c1).astype(_U32)
+    # limb 3: p11.hi + c2
+    w3 = p11.hi + c2
+    return U64(w3, w2c), U64(w1b, p00.lo)
+
+
+def u64_mulhi(a: U64, b: U64) -> U64:
+    """High 64 bits of a*b."""
+    return u64_mul_wide(a, b)[0]
+
+
+def u64_const_like(value: int, like: U64) -> U64:
+    """A scalar constant broadcastable against ``like`` (weak 0-d arrays)."""
+    value &= MASK64
+    return U64(_U32(value >> 32), _U32(value & MASK32))
+
+
+# ---------------------------------------------------------------------------
+# Modulus-bound engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FieldConsts:
+    """All compile-time constants the device kernels need for one modulus.
+
+    The TPU analogue of binding ``Modulus<N, g>`` into a modmul engine type
+    (reference modmul/scalar/p-adic-64.hpp:11-14).  Constructed on the host,
+    every field is a Python int baked into the traced program as a literal.
+    """
+
+    modulus: int
+    montgomery_inverse: int  # N^-1 mod 2^64
+    lazy: bool  # values in [0, 2N) vs canonical [0, N)
+
+    @classmethod
+    def from_modulus(cls, mod: Modulus, lazy: bool | None = None) -> "FieldConsts":
+        if lazy is None:
+            lazy = mod.bit_width <= 62
+        if lazy and mod.bit_width > 62:
+            raise ValueError(
+                "lazy [0,2N) arithmetic requires bit_width(N) <= 62; "
+                f"modulus has {mod.bit_width} bits"
+            )
+        return cls(mod.modulus, mod.montgomery_inverse, lazy)
+
+    # -- addition/subtraction ------------------------------------------------
+
+    def add(self, a: U64, b: U64) -> U64:
+        """a + b staying in-range.
+
+        lazy: [0,2N) inputs/outputs via the min-trick (needs 4N < 2^64);
+        canonical: [0,N) with carry-aware wrap for 63/64-bit moduli
+        (reference modmul/sve/p-adic-64.hpp:40-62 dual paths).
+        """
+        if self.lazy:
+            s = u64_add(a, b)  # < 4N < 2^64
+            return u64_min(s, u64_sub(s, u64_const_like(2 * self.modulus, s)))
+        s, carry = u64_add_carry(a, b)
+        n = u64_const_like(self.modulus, s)
+        wrapped = u64_sub(s, n)
+        take_wrapped = (carry != _U32(0)) | u64_geq(s, n)
+        return u64_select(take_wrapped, wrapped, s)
+
+    def sub(self, a: U64, b: U64) -> U64:
+        """a - b staying in-range."""
+        if self.lazy:
+            # a - b + 2N in (0, 4N) then min-reduce back to [0, 2N)
+            d = u64_add(u64_sub(a, b), u64_const_like(2 * self.modulus, a))
+            return u64_min(d, u64_sub(d, u64_const_like(2 * self.modulus, d)))
+        d, borrow = u64_sub_borrow(a, b)
+        fixed = u64_add(d, u64_const_like(self.modulus, d))
+        return u64_select(borrow != _U32(0), fixed, d)
+
+    def normalize(self, a: U64) -> U64:
+        """Map [0, 2N) -> canonical [0, N) (reference multiply_normalize's
+        min(c, c-N) trick, modmul/sve/p-adic-64.hpp:101-115)."""
+        if not self.lazy:
+            return a
+        return u64_min(a, u64_sub(a, u64_const_like(self.modulus, a)))
+
+    # -- Montgomery multiply ---------------------------------------------------
+
+    def mont_mul(self, a: U64, w: U64, wp: U64) -> U64:
+        """Montgomery multiply with a precomputed companion.
+
+        ``w`` is a twiddle in Montgomery form, ``wp = w * N^-1 mod 2^64`` its
+        companion (prepared host-side).  Returns
+        ``hi64(a*w) - hi64(lo64(a*wp) * N) + N``:
+
+        * lazy mode: result in (0, 2N) -- identical contract to reference
+          modmul/scalar/p-adic-64.hpp:35-45; valid for any ``a`` with
+          ``a * w < 2^64 * N``.
+        * canonical mode: conditionally subtract N for a [0, N) result.
+        """
+        q = u64_mullo(a, wp)
+        ab1 = u64_mulhi(a, w)
+        return self._redc_finish(ab1, q)
+
+    def _redc_finish(self, ab1: U64, q: U64) -> U64:
+        """Shared tail of both Montgomery multiplies: ab1 - hi64(q*N), with
+        the +N bias (lazy, (0,2N) result; reference sve/p-adic-64.hpp:88-89)
+        or borrow-conditional +N (canonical [0,N) for 63/64-bit moduli;
+        reference sve/p-adic-64.hpp:90-92)."""
+        qn1 = u64_mulhi(q, u64_const_like(self.modulus, q))
+        if self.lazy:
+            return u64_add(u64_sub(ab1, qn1), u64_const_like(self.modulus, ab1))
+        d = u64_sub(ab1, qn1)
+        fixed = u64_add(d, u64_const_like(self.modulus, d))
+        return u64_select(u64_lt(ab1, qn1), fixed, d)
+
+    def mont_mul_full(self, a: U64, b: U64) -> U64:
+        """Montgomery multiply without a precomputed companion.
+
+        Computes the companion on the fly (``q = lo64(a*b) * N^-1``): used by
+        device-side twiddle-table generation and pointwise products where the
+        right operand is data, not a prepared constant (the role of reference
+        modmul/scalar/p-adic-64.hpp:31-33 which calls precompute inline).
+        """
+        ab_hi, ab_lo = u64_mul_wide(a, b)
+        q = u64_mullo(ab_lo, u64_const_like(self.montgomery_inverse, ab_lo))
+        return self._redc_finish(ab_hi, q)
+
+    def shoup_mul(self, a: U64, w: U64, wp: U64) -> U64:
+        """Shoup multiply: a*w - hi64(a*wp)*N, result in [0, 2N).
+
+        ``wp = floor(w * 2^64 / N)`` prepared host-side
+        (reference modmul/scalar/fixed-point-64.hpp:48-55).  ``w`` is in the
+        plain domain, any ``a < 2^64`` is accepted; requires
+        bit_width(N) <= 63 so [0, 2N) fits in 64 bits.
+        """
+        if self.modulus.bit_length() > 63:
+            raise ValueError("Shoup multiply requires bit_width(N) <= 63")
+        hi = u64_mulhi(a, wp)
+        t = u64_mullo(hi, u64_const_like(self.modulus, hi))
+        c = u64_sub(u64_mullo(a, w), t)
+        if self.lazy:
+            return c
+        return u64_min(c, u64_sub(c, u64_const_like(self.modulus, c)))
+
+    # -- butterflies -------------------------------------------------------------
+
+    def butterfly_forward(self, x0: U64, x1: U64, w: U64, wp: U64) -> tuple[U64, U64]:
+        """DIF (Gentleman-Sande) butterfly: (x0 + x1, (x0 - x1) * w).
+
+        Reference modmul/sve/p-adic-64.hpp:142-178.  In lazy mode the
+        difference is biased by +2N before the Montgomery multiply so the
+        multiplicand stays in (0, 4N) (reference layer/scalar/radix-two.hpp:50
+        applies the same +2N bias).
+        """
+        y0 = self.add(x0, x1)
+        if self.lazy:
+            d = u64_add(u64_sub(x0, x1), u64_const_like(2 * self.modulus, x0))
+        else:
+            d = self.sub(x0, x1)
+        return y0, self.mont_mul(d, w, wp)
+
+    def butterfly_forward_notwiddle(self, x0: U64, x1: U64) -> tuple[U64, U64]:
+        """DIF butterfly with w == 1 (reference modmul/sve/p-adic-64.hpp:117-140)."""
+        return self.add(x0, x1), self.sub(x0, x1)
+
+    def butterfly_inverse(self, x0: U64, x1: U64, w: U64, wp: U64) -> tuple[U64, U64]:
+        """DIT butterfly: t = x1 * w; (x0 + t, x0 - t)
+        (reference modmul/sve/p-adic-64.hpp:225-246)."""
+        t = self.mont_mul(x1, w, wp)
+        return self.add(x0, t), self.sub(x0, t)
+
+    def butterfly_inverse_scaled(
+        self, x0: U64, x1: U64, s: U64, sp: U64, sw: U64, swp: U64
+    ) -> tuple[U64, U64]:
+        """Final-layer DIT butterfly with both outputs twiddled:
+        (x0*s + x1*sw, x0*s - x1*sw) where s = m^-1 and sw = m^-1 * w.
+
+        Folds the 1/m inverse scaling into the last layer exactly like the
+        reference's two-twiddle butterfly / ``inverse_factor`` mechanism
+        (reference modmul/sve/p-adic-64.hpp:180-223,
+        layer/sve/radix-eight.hpp:445-478).
+        """
+        a = self.mont_mul(x0, s, sp)
+        b = self.mont_mul(x1, sw, swp)
+        return self.add(a, b), self.sub(a, b)
