@@ -1,0 +1,168 @@
+"""Twiddle-factor preparation: host tables + device-side table generation.
+
+The TPU analogue of the reference's prepare_forward/prepare_inverse aux
+stream (reference include/sventt/wrapper.hpp:34-46 and every layer's
+``prepare_*``): instead of a sequentially-consumed byte arena, twiddles are
+plain device arrays owned by the NTT wrapper and passed to jitted kernels as
+pytree operands (SURVEY.md section 4.6).
+
+Conventions (identical to the reference's):
+
+* stage twiddles are stored in **Montgomery form** with their precomputed
+  Montgomery companions ``wp = w * N^-1 mod 2^64`` interleaved as a parallel
+  array (reference layer/sve/radix-two.hpp:34-94);
+* data stays in the plain domain -- the Montgomery factor cancels because
+  every multiply has exactly one Montgomery-form operand (SURVEY.md 4.3);
+* the forward stage order matches the golden DIF (l = m/2 ... 1) and the
+  inverse order the golden DIT (l = 1 ... m/2), with the 1/m scaling folded
+  into the *last* inverse stage (reference ``inverse_factor`` mechanism,
+  layer/sve/radix-eight.hpp:445-478).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..field.limb import U64, FieldConsts, u64_from_numpy
+from ..field.modulus import Modulus
+
+
+class MontPair(NamedTuple):
+    """A Montgomery-form twiddle array and its companion array (w, wp)."""
+
+    w: U64
+    wp: U64
+
+
+class ForwardTables(NamedTuple):
+    """Per-stage DIF twiddles for a length-m leading-axis NTT.
+
+    ``stages[s]`` covers butterfly half-width ``l = m >> (s+1)`` and holds
+    ``l`` twiddles ``omega_{2l}^j`` (Montgomery form) plus companions.
+    """
+
+    m: int
+    stages: tuple[MontPair, ...]
+
+
+class InverseTables(NamedTuple):
+    """Per-stage DIT twiddles; the final stage is pre-scaled.
+
+    ``stages[s]`` covers ``l = 1 << s`` with ``omegainv_{2l}^j``.  The last
+    entry holds ``sw[j] = m^-1 * omegainv_m^j`` and ``scale`` holds the
+    broadcast pair for ``s = m^-1`` so the final butterflies produce
+    fully-scaled outputs (fc.butterfly_inverse_scaled).
+    """
+
+    m: int
+    stages: tuple[MontPair, ...]
+    scale: MontPair
+
+
+def _mont_pair(mod: Modulus, values_plain: list[int]) -> MontPair:
+    wm = np.array([mod.to_montgomery(v) for v in values_plain], dtype=np.uint64)
+    wp = np.array(
+        [mod.montgomery_precompute(int(v)) for v in wm], dtype=np.uint64
+    )
+    return MontPair(u64_from_numpy(wm), u64_from_numpy(wp))
+
+
+def _powers(base: int, count: int, N: int) -> list[int]:
+    out, x = [], 1
+    for _ in range(count):
+        out.append(x)
+        x = x * base % N
+    return out
+
+
+def forward_tables(mod: Modulus, m: int) -> ForwardTables:
+    """DIF stage tables for the golden forward recursion
+    (reference tests/ntt-reference.hpp:43-61 twiddle schedule)."""
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    N = mod.modulus
+    log2m = m.bit_length() - 1
+    omega_2l = mod.get_root_forward(m)
+    stages = []
+    for i in range(log2m - 1, -1, -1):
+        l = 1 << i
+        stages.append(_mont_pair(mod, _powers(omega_2l, l, N)))
+        omega_2l = omega_2l * omega_2l % N
+    return ForwardTables(m, tuple(stages))
+
+
+def inverse_tables(mod: Modulus, m: int, scale_extra: int = 1) -> InverseTables:
+    """DIT stage tables with 1/m (times ``scale_extra``) folded into the last
+    stage (reference tests/ntt-reference.hpp:63-83 schedule + the
+    inverse_factor fold of layer/sve/radix-eight.hpp:445-478)."""
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    N = mod.modulus
+    log2m = m.bit_length() - 1
+    omegainv_m = mod.invert(mod.get_root_forward(m))
+    s = mod.invert(m) * (scale_extra % N) % N
+    stages = []
+    for i in range(log2m):
+        l = 1 << i
+        omegainv_2l = pow(omegainv_m, 1 << (log2m - i - 1), N)
+        tw = _powers(omegainv_2l, l, N)
+        if i == log2m - 1:
+            tw = [t * s % N for t in tw]  # fold scaling into final stage
+        stages.append(_mont_pair(mod, tw))
+    scale = _mont_pair(mod, [s])
+    return InverseTables(m, tuple(stages), scale)
+
+
+def sixstep_row_twiddles(mod: Modulus, n0: int, n1: int) -> MontPair:
+    """The n0 x n1 inter-step twiddle matrix W[p0, j1] = omega_n^(bitrev(p0)*j1).
+
+    This is the twiddle pass between the column and row transforms of the
+    four/six-step decomposition (reference layer/sve/generic.hpp:169-268
+    ``twiddle_rows_forward`` with the bitreversed row indexing of
+    layer/scalar/generic.hpp:36-38).  Host-side numpy; fine up to ~2^22
+    elements.  Larger transforms use the on-device generator in
+    sventt_tpu/ops/ntt_jnp.py (sixstep_row_twiddles_device).
+    """
+    from ..field.golden import bitreverse_permutation
+
+    N = mod.modulus
+    n = n0 * n1
+    omega = mod.get_root_forward(n)
+    perm = bitreverse_permutation(n0)
+    rows = []
+    for p0 in range(n0):
+        base = pow(omega, perm[p0], N)
+        rows.append(_powers(base, n1, N))
+    flat = [v for row in rows for v in row]
+    wm = np.array([mod.to_montgomery(v) for v in flat], dtype=np.uint64).reshape(
+        n0, n1
+    )
+    wp = (wm * np.uint64(mod.montgomery_inverse)).astype(np.uint64)  # mod 2^64 wrap
+    return MontPair(u64_from_numpy(wm), u64_from_numpy(wp))
+
+
+def sixstep_row_twiddles_inverse(mod: Modulus, n0: int, n1: int) -> MontPair:
+    """Inverse inter-step twiddles W[p0, j1] = omega_n^(-bitrev(p0)*j1)."""
+    from ..field.golden import bitreverse_permutation
+
+    N = mod.modulus
+    n = n0 * n1
+    omegainv = mod.invert(mod.get_root_forward(n))
+    perm = bitreverse_permutation(n0)
+    rows = []
+    for p0 in range(n0):
+        base = pow(omegainv, perm[p0], N)
+        rows.append(_powers(base, n1, N))
+    flat = [v for row in rows for v in row]
+    wm = np.array([mod.to_montgomery(v) for v in flat], dtype=np.uint64).reshape(
+        n0, n1
+    )
+    wp = (wm * np.uint64(mod.montgomery_inverse)).astype(np.uint64)
+    return MontPair(u64_from_numpy(wm), u64_from_numpy(wp))
+
+
+def montgomery_scalar(mod: Modulus, value: int) -> MontPair:
+    """A single field constant as a broadcastable Montgomery (w, wp) pair."""
+    return _mont_pair(mod, [value % mod.modulus])

@@ -1,0 +1,93 @@
+"""NttConfig: the trace-time configuration record.
+
+The reference's configuration system is C++ template parameters -- modulus,
+modmul engine, radix per stage, blocking, transpose strategy -- all fixed at
+compile time (SURVEY.md section 6, "Config / flag system").  The TPU-native
+equivalent is this dataclass: every field is static at jit-trace time, so XLA
+specializes exactly like the C++ compiler did.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from ..field.modulus import Modulus
+
+
+def _is_pow2(x: int) -> bool:
+    return x > 0 and x & (x - 1) == 0
+
+
+@dataclass(frozen=True)
+class NttConfig:
+    """Static plan for one transform length over one prime field.
+
+    Strategies (the reference's kernel/algorithm families, README.md:7-8):
+
+    * ``iterative``  -- all stages over the full vector (reference
+      kernel/iterative.hpp); right for lengths whose working set fits VMEM.
+    * ``six_step``   -- n = n0*n1 matrix: column NTTs, twiddle, transpose,
+      row NTTs, transpose (reference layer/sve/generic.hpp four/six-step).
+      On TPU the transposes are XLA/Pallas tile transposes on one chip and
+      ICI all-to-alls on a mesh.
+
+    ``engine`` selects the butterfly implementation: ``jnp`` (portable pure
+    XLA) or ``pallas`` (fused VMEM kernels); ``auto`` picks pallas on TPU.
+    """
+
+    modulus: int
+    generator: int
+    n: int
+    strategy: str = "auto"  # "iterative" | "six_step" | "auto"
+    n0: int | None = None  # six-step: column-transform length (matrix rows)
+    n1: int | None = None  # six-step: row-transform length (matrix cols)
+    lazy: bool | None = None  # None: lazy iff bit_width(N) <= 62
+    engine: str = "auto"  # "jnp" | "pallas" | "auto"
+    batch: int = 1  # number of independent transforms per call
+
+    # largest transform the iterative strategy handles before auto switches
+    # to six-step (working set 16*n bytes vs ~16 MB VMEM, leave headroom)
+    ITERATIVE_MAX: int = field(default=1 << 13, repr=False)
+
+    def __post_init__(self):
+        if not _is_pow2(self.n) or self.n < 2:
+            raise ValueError("n must be a power of two >= 2")
+        mod = self.mod
+        if (mod.modulus - 1) % self.n:
+            raise ValueError(
+                f"modulus lacks 2-adicity {self.n.bit_length() - 1} "
+                f"(has {mod.two_adicity})"
+            )
+        if self.strategy not in ("auto", "iterative", "six_step"):
+            raise ValueError(f"unknown strategy {self.strategy!r}")
+        if self.engine not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown engine {self.engine!r}")
+        if self.strategy == "six_step" or (
+            self.strategy == "auto" and self.n > self.ITERATIVE_MAX
+        ):
+            n0, n1 = self.split
+            if n0 * n1 != self.n or not (_is_pow2(n0) and _is_pow2(n1)):
+                raise ValueError("n0 * n1 must equal n (powers of two)")
+
+    @property
+    def mod(self) -> Modulus:
+        return Modulus(self.modulus, self.generator)
+
+    @property
+    def resolved_strategy(self) -> str:
+        if self.strategy != "auto":
+            return self.strategy
+        return "iterative" if self.n <= self.ITERATIVE_MAX else "six_step"
+
+    @property
+    def split(self) -> tuple[int, int]:
+        """(n0, n1) for six-step; balanced by default with n1 >= n0, matching
+        the reference flagship 2^17 = 2^8 x 2^9 (README.md:18-68)."""
+        if self.n0 is not None and self.n1 is not None:
+            return self.n0, self.n1
+        log2n = self.n.bit_length() - 1
+        n0 = 1 << (log2n // 2)
+        return n0, self.n // n0
+
+    def with_(self, **kw) -> "NttConfig":
+        return replace(self, **kw)

@@ -1,0 +1,120 @@
+"""Public NTT wrapper: iterative and six-step strategies vs the golden model.
+
+The config-matrix role of reference tests/ntt-tests/*.hpp + bench-ntt.cpp:
+each config is validated bit-exactly (mod N) against the golden model.
+"""
+
+import numpy as np
+import pytest
+
+from sventt_tpu.field.golden import GoldenNTT
+from sventt_tpu.field.modulus import (
+    FLAGSHIP_GENERATOR,
+    FLAGSHIP_MODULUS,
+    TEST_GENERATOR,
+    TEST_MODULUS,
+    Modulus,
+)
+from sventt_tpu.plan import NTT, NttConfig
+
+TEST_MOD = Modulus(TEST_MODULUS, TEST_GENERATOR)
+
+
+def _check_forward_inverse(cfg: NttConfig, rng, golden_n_max=1 << 12):
+    mod = cfg.mod
+    N = mod.modulus
+    ntt = NTT(cfg)
+    x = rng.integers(0, N, size=cfg.n, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    if cfg.n <= golden_n_max:
+        golden = GoldenNTT(cfg.n, mod)
+        want = golden.forward([int(v) for v in x])
+        assert [int(v) % N for v in fwd] == want
+    back = ntt.inverse_numpy(fwd)
+    # compare as Python-int lists: numpy object-array comparisons of uint64
+    # scalars against >2^63 Python ints are unreliable
+    assert [int(v) % N for v in back] == [int(v) for v in x]
+
+
+# mirrors the reference kernel test sizes (tests/ntt-tests/: 2^10..2^13
+# iterative, 2^13+ recursive/four-step)
+@pytest.mark.parametrize("log2n", [4, 10])
+def test_iterative(rng, log2n):
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << log2n, strategy="iterative")
+    _check_forward_inverse(cfg, rng)
+
+
+@pytest.mark.parametrize("split", [(4, 8), (8, 4), (16, 16), (8, 64)])
+def test_six_step_splits(rng, split):
+    n0, n1 = split
+    cfg = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, n0 * n1, strategy="six_step", n0=n0, n1=n1
+    )
+    _check_forward_inverse(cfg, rng)
+
+
+def test_six_step_matches_iterative(rng):
+    # same transform, two strategies: residues must agree elementwise
+    n = 1 << 10
+    x = rng.integers(0, TEST_MODULUS, size=n, dtype=np.uint64)
+    it = NTT(NttConfig(TEST_MODULUS, TEST_GENERATOR, n, strategy="iterative"))
+    ss = NTT(NttConfig(TEST_MODULUS, TEST_GENERATOR, n, strategy="six_step"))
+    assert (it.forward_numpy(x) == ss.forward_numpy(x)).all()
+
+
+def test_flagship_modulus_six_step(rng):
+    # the 64-bit flagship modulus on the canonical (non-lazy) path
+    cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 1 << 10, strategy="six_step")
+    _check_forward_inverse(cfg, rng)
+
+
+def test_flagship_config_2e17_roundtrip(rng):
+    # BASELINE.md config 3: six-step 2^17 = 2^8 x 2^9 (README.md flagship);
+    # golden check is too slow at this size, so verify the roundtrip plus
+    # linearity spot checks instead.
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 17)
+    assert cfg.resolved_strategy == "six_step"
+    assert cfg.split == (1 << 8, 1 << 9)
+    ntt = NTT(cfg)
+    N = cfg.modulus
+    x = rng.integers(0, N, size=cfg.n, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    # spot check against the DFT definition: position 0 = sum, 1 = alt sum
+    assert int(fwd[0]) == sum(int(v) for v in x) % N
+    alt = sum(int(v) if i % 2 == 0 else -int(v) for i, v in enumerate(x)) % N
+    assert int(fwd[1]) == alt
+    back = ntt.inverse_numpy(fwd)
+    assert (back == x).all()
+
+
+def test_batched(rng):
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 256, strategy="six_step")
+    ntt = NTT(cfg)
+    N = cfg.modulus
+    x = rng.integers(0, N, size=(256, 3), dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    golden = GoldenNTT(256, cfg.mod)
+    for c in range(3):
+        want = golden.forward([int(v) for v in x[:, c]])
+        assert [int(v) % N for v in fwd[:, c]] == want
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 100)  # not a power of two
+    with pytest.raises(ValueError):
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 58)  # exceeds 2-adicity
+    with pytest.raises(ValueError):
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 64, strategy="six_step", n0=4, n1=8)
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 17)
+    assert cfg.split == (256, 512)
+
+
+def test_forward_only_wrapper(rng):
+    ntt = NTT(
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 64), enable_inverse=False
+    )
+    x = rng.integers(0, TEST_MODULUS, size=64, dtype=np.uint64)
+    ntt.forward_numpy(x)
+    with pytest.raises(RuntimeError):
+        ntt.inverse_numpy(x)
