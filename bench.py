@@ -1,0 +1,108 @@
+"""Headline benchmark: 2^24-point forward NTT on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Mirrors the reference's bench-ntt harness (reference tests/bench-ntt.cpp:20-65:
+fill input, golden-check, time the transform) at BASELINE.md config 4 scale
+(n = 2^24 blocked six-step).  The reference publishes no absolute numbers
+(BASELINE.md), so ``vs_baseline`` reports distance from the chip's own
+speed of light instead: roofline_ms / measured_ms, where the roofline charges
+the six-step's minimal HBM traffic (4 read+write passes over the 16-byte/point
+limb data) at the chip's peak HBM bandwidth.  1.0 = at roofline; higher is
+better.
+
+Env overrides: BENCH_N (log2 points, default 24), BENCH_ITERS (default 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _hbm_gbps() -> float:
+    """Peak HBM bandwidth for the local chip (rough per-generation table)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v5 lite": 819.0,
+        "v5e": 819.0,
+        "v5p": 2765.0,
+        "v4": 1228.0,
+        "v6 lite": 1640.0,
+        "v6e": 1640.0,
+    }
+    for key, bw in table.items():
+        if key in kind:
+            return bw
+    return 819.0
+
+
+def main() -> None:
+    import jax
+
+    from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
+    from sventt_tpu.field.limb import u64_from_numpy
+    from sventt_tpu.plan import NTT, NttConfig
+
+    log2n = int(os.environ.get("BENCH_N", "24"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    n = 1 << log2n
+
+    cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, n)
+    print(
+        f"bench: n=2^{log2n} strategy={cfg.resolved_strategy} "
+        f"split={cfg.split if cfg.resolved_strategy != 'iterative' else '-'} "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    ntt = NTT(cfg, enable_inverse=False)
+
+    rng = np.random.default_rng(0)
+    x = u64_from_numpy(rng.integers(0, cfg.modulus, n, dtype=np.uint64))
+    x = jax.device_put(x)
+
+    # Warm-up (compile) + correctness spot check vs the DFT definition.
+    t0 = time.perf_counter()
+    out = ntt.compute_forward(x)
+    jax.block_until_ready(out)
+    print(f"bench: compile+first run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    outv = ntt.fc.normalize(out)
+    first = (int(np.asarray(outv.hi[0])) << 32) | int(np.asarray(outv.lo[0]))
+    # X[0] = sum of inputs mod N (DFT definition, independent of the library).
+    # Limb-wise u64 sums are exact: 2^24 values < 2^32 sum to < 2^56.
+    hi_sum = int(np.asarray(x.hi).astype(np.uint64).sum())
+    lo_sum = int(np.asarray(x.lo).astype(np.uint64).sum())
+    want0 = ((hi_sum << 32) + lo_sum) % cfg.modulus
+    assert first == want0, f"correctness check failed: {first} != {want0}"
+    print("bench: X[0] matches DFT definition", file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(ntt.compute_forward(x))
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1e3)
+
+    bytes_per_pass = 2 * 16 * n  # read + write, 16 B/point (2x u32 limb pairs)
+    roofline_ms = 4 * bytes_per_pass / (_hbm_gbps() * 1e9) * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": f"ntt_2p{log2n}_forward_ms",
+                "value": round(ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(roofline_ms / ms, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,59 @@ def sixstep_row_twiddles_inverse(mod: Modulus, n0: int, n1: int) -> MontPair:
 def montgomery_scalar(mod: Modulus, value: int) -> MontPair:
     """A single field constant as a broadcastable Montgomery (w, wp) pair."""
     return _mont_pair(mod, [value % mod.modulus])
+
+
+def _mont_precompute_device(w: U64, mod: Modulus) -> U64:
+    """wp = w * N^-1 mod 2^64, computed on device (u64_mullo)."""
+    from ..field.limb import u64_const_like, u64_mullo
+
+    return u64_mullo(w, u64_const_like(mod.montgomery_inverse, w))
+
+
+def sixstep_row_twiddles_device(
+    mod: Modulus, n0: int, n1: int, *, inverse: bool = False
+) -> "MontPair":
+    """Device-built inter-step twiddle matrix for large transforms.
+
+    Same values as ``sixstep_row_twiddles[_inverse]`` but the n0 x n1 matrix
+    is generated on-device: the host computes only the n0 per-row bases
+    ``omega_n^(+-bitrev(p0))`` (Montgomery form), then a ``lax.scan`` over the
+    n1 columns carries a running Montgomery product -- the TPU analogue of the
+    reference's on-the-fly omega^(j*cntd) recurrence
+    (reference layer/sve/generic.hpp:183-267).  O(n0) host work instead of
+    O(n0*n1); required for n >= ~2^22 where host Python-int tables are too
+    slow.  Results are canonical mod N (normalized), so they match the host
+    tables bit-for-bit.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..field.golden import bitreverse_permutation
+    from ..field.limb import FieldConsts
+
+    N = mod.modulus
+    n = n0 * n1
+    omega = mod.get_root_forward(n)
+    if inverse:
+        omega = mod.invert(omega)
+    perm = bitreverse_permutation(n0)
+    # Host: n0 Montgomery-form bases (cheap); device: the n1-column recurrence.
+    bases = np.array(
+        [mod.to_montgomery(pow(omega, p, N)) for p in perm], dtype=np.uint64
+    )
+    base = u64_from_numpy(bases)
+    one = u64_from_numpy(np.full(n0, mod.montgomery_r, dtype=np.uint64))
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+
+    @jax.jit
+    def build(one: U64, base: U64) -> MontPair:
+        def step(carry: U64, _):
+            # carry is Montgomery-form omega^(bitrev(p0)*j); emit it, advance.
+            return fc.mont_mul_full(carry, base), carry
+
+        _, cols = jax.lax.scan(step, one, None, length=n1)
+        # cols: (n1, n0) Montgomery twiddles; transpose to (n0, n1).
+        w = U64(jnp.transpose(cols.hi), jnp.transpose(cols.lo))
+        return MontPair(w, _mont_precompute_device(w, mod))
+
+    return build(one, base)

@@ -1,0 +1,160 @@
+"""Distributed six-step NTT: row-sharded matrix, all-to-all transposes.
+
+The reference's six-step transpose is "all-to-all in disguise" (SURVEY.md
+section 2.5): element (i, j) -> (j, i) moved through L1-blocked SVE shuffles
+inside one shared-memory node.  Here the n = n0*n1 coefficient vector is
+**row-sharded** over a 1-D `jax.sharding.Mesh` and the two transposes of the
+six-step schedule (reference include/sventt/kernel/recursive.hpp:61-75)
+become `jax.lax.all_to_all` collectives over ICI, with all butterfly work
+purely local between them.
+
+Data layout (forward):
+
+  flat x: (n,) = row-major (n0, n1), sharded P('shard') = n0-rows sharded
+  1. all-to-all   -> (n0, n1/D) column shards       [comm 1]
+  2. column NTTs over the full local leading axis n0
+  3. twiddle multiply W[p0, j1] = omega_n^(bitrev(p0)*j1) (column-sharded)
+  4. all-to-all + local transpose -> (n1, n0/D)     [comm 2]
+  5. row NTTs over the full local leading axis n1
+  6. local transpose -> (n0/D, n1): the flat bit-reversed output, row-sharded
+
+which reproduces the single-chip ``NTT`` wrapper's output bit-for-bit shard
+by shard.  The inverse runs the mirror schedule (reference
+kernel/recursive.hpp:116-139).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..field.limb import U64, FieldConsts
+from ..ops.ntt_jnp import ntt_forward, ntt_inverse
+from ..ops.twiddle import forward_tables, inverse_tables
+from ..plan.config import NttConfig
+from ..plan.wrapper import _row_twiddles
+from .mesh import AXIS
+
+
+def _u64_map(f, x: U64) -> U64:
+    return U64(f(x.hi), f(x.lo))
+
+
+def _all_to_all(x: U64, axis: str, split_axis: int, concat_axis: int) -> U64:
+    return _u64_map(
+        lambda a: jax.lax.all_to_all(
+            a, axis, split_axis=split_axis, concat_axis=concat_axis, tiled=True
+        ),
+        x,
+    )
+
+
+def _transpose01(x: U64) -> U64:
+    perm = (1, 0) + tuple(range(2, x.lo.ndim))
+    return _u64_map(lambda a: jnp.transpose(a, perm), x)
+
+
+class DistributedNTT:
+    """Forward/inverse six-step NTT sharded over a 1-D device mesh.
+
+    Input/output: flat U64 of global shape ``(n,)`` sharded ``P(axis)``
+    (contiguous blocks).  Semantics match the single-chip ``plan.NTT``:
+    forward emits bit-reversed order, inverse consumes it; residues mod N.
+    Requires ``n0 % D == 0`` and ``n1 % D == 0`` for the all-to-all tiling.
+    """
+
+    def __init__(self, config: NttConfig, mesh: jax.sharding.Mesh, axis: str = AXIS):
+        n0, n1 = config.split
+        D = mesh.shape[axis]
+        if n0 % D or n1 % D:
+            raise ValueError(f"n0={n0}, n1={n1} must be divisible by mesh size {D}")
+        self.config = config
+        self.mesh = mesh
+        self.axis = axis
+        self.n0, self.n1 = n0, n1
+        mod = config.mod
+        self.fc = FieldConsts.from_modulus(mod, lazy=config.lazy)
+        self._fwd_col = forward_tables(mod, n0)
+        self._fwd_row = forward_tables(mod, n1)
+        self._inv_col = inverse_tables(mod, n0)
+        self._inv_row = inverse_tables(mod, n1)
+        # Inter-step twiddles live column-sharded on the device mesh.
+        tw_sharding = NamedSharding(mesh, P(None, axis))
+        self._fwd_tw = jax.device_put(
+            _row_twiddles(mod, n0, n1, inverse=False), tw_sharding
+        )
+        self._inv_tw = jax.device_put(
+            _row_twiddles(mod, n0, n1, inverse=True), tw_sharding
+        )
+
+        flat = P(axis)
+        tw = P(None, axis)
+        self._forward = jax.jit(
+            jax.shard_map(
+                self._forward_local,
+                mesh=mesh,
+                in_specs=(flat, tw),
+                out_specs=flat,
+            )
+        )
+        self._inverse = jax.jit(
+            jax.shard_map(
+                self._inverse_local,
+                mesh=mesh,
+                in_specs=(flat, tw),
+                out_specs=flat,
+            )
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def get_m(self) -> int:
+        return self.config.n
+
+    def sharding(self) -> NamedSharding:
+        """The sharding transforms expect for the flat coefficient vector."""
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def compute_forward(self, x: U64) -> U64:
+        return self._forward(x, self._fwd_tw)
+
+    def compute_inverse(self, x: U64) -> U64:
+        return self._inverse(x, self._inv_tw)
+
+    # -- local (per-shard) schedules ---------------------------------------
+
+    def _forward_local(self, x: U64, tw) -> U64:
+        n0, n1 = self.n0, self.n1
+        D = self.mesh.shape[self.axis]
+        w, wp = tw  # local (n0, n1/D) each
+        mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
+        # [comm 1] row shards -> column shards: (n0/D, n1) -> (n0, n1/D)
+        mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
+        # column NTTs: full leading axis n0 is local
+        mat = ntt_forward(mat, self._fwd_col, self.fc)
+        mat = self.fc.mont_mul(mat, w, wp)
+        # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
+        mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
+        mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
+        # row NTTs: full leading axis n1 is local
+        mat = ntt_forward(mat, self._fwd_row, self.fc)
+        # local transpose: (n1, n0/D) -> (n0/D, n1) = flat bit-reversed shard
+        mat = _transpose01(mat)
+        return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)
+
+    def _inverse_local(self, x: U64, tw) -> U64:
+        n0, n1 = self.n0, self.n1
+        D = self.mesh.shape[self.axis]
+        w, wp = tw
+        mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
+        mat = _transpose01(mat)  # (n1, n0/D)
+        mat = ntt_inverse(mat, self._inv_row, self.fc)  # undo row NTTs
+        mat = _transpose01(mat)  # (n0/D, n1)
+        # undo [comm 2]
+        mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
+        mat = self.fc.mont_mul(mat, w, wp)  # undo twiddles
+        mat = ntt_inverse(mat, self._inv_col, self.fc)  # undo column NTTs
+        # undo [comm 1]: column shards -> row shards
+        mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
+        return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)

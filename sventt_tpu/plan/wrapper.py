@@ -33,9 +33,22 @@ from ..ops.twiddle import (
     forward_tables,
     inverse_tables,
     sixstep_row_twiddles,
+    sixstep_row_twiddles_device,
     sixstep_row_twiddles_inverse,
 )
 from .config import NttConfig
+
+#: Above this element count the inter-step twiddle matrix is generated on
+#: device (lax.scan Montgomery recurrence) instead of host Python ints.
+_DEVICE_TWIDDLE_THRESHOLD = 1 << 20
+
+
+def _row_twiddles(mod, n0: int, n1: int, *, inverse: bool):
+    if n0 * n1 > _DEVICE_TWIDDLE_THRESHOLD:
+        return sixstep_row_twiddles_device(mod, n0, n1, inverse=inverse)
+    if inverse:
+        return sixstep_row_twiddles_inverse(mod, n0, n1)
+    return sixstep_row_twiddles(mod, n0, n1)
 
 
 def _transpose01(x: U64) -> U64:
@@ -80,11 +93,11 @@ class NTT:
             if enable_forward:
                 self._fwd_col = forward_tables(self.mod, n0)
                 self._fwd_row = forward_tables(self.mod, n1)
-                self._fwd_tw = sixstep_row_twiddles(self.mod, n0, n1)
+                self._fwd_tw = _row_twiddles(self.mod, n0, n1, inverse=False)
             if enable_inverse:
                 self._inv_col = inverse_tables(self.mod, n0)
                 self._inv_row = inverse_tables(self.mod, n1)
-                self._inv_tw = sixstep_row_twiddles_inverse(self.mod, n0, n1)
+                self._inv_tw = _row_twiddles(self.mod, n0, n1, inverse=True)
 
         if enable_forward:
             self._fwd = jax.jit(self._forward_impl)

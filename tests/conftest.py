@@ -12,8 +12,11 @@ test process, which conftest.py guarantees during pytest startup.
 
 import os
 
-# Neutralize the axon TPU tunnel registration (sitecustomize keys off this
-# env var) and force a deterministic 8-device CPU platform.
+# Force a deterministic 8-device CPU platform.  The axon sitecustomize has
+# already imported jax at interpreter startup (latching JAX_PLATFORMS), so
+# env mutation alone is not enough: update the live jax config too.  The
+# XLA_FLAGS mutation still works because the CPU backend is created lazily,
+# after conftest import.
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
@@ -21,6 +24,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

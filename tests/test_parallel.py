@@ -1,0 +1,55 @@
+"""Multi-chip six-step NTT on the 8-device CPU mesh.
+
+The distributed path must match the single-chip wrapper bit-for-bit shard by
+shard (SURVEY.md section 8 step 6: "bit-exactness across shard boundaries
+with bit-reversed ordering").
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from sventt_tpu import TEST_GENERATOR, TEST_MODULUS
+from sventt_tpu.field.limb import u64_from_numpy, u64_to_numpy
+from sventt_tpu.parallel import DistributedNTT, make_ntt_mesh
+from sventt_tpu.plan import NTT, NttConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_ntt_mesh(8)
+
+
+@pytest.mark.parametrize("n,n0", [(1 << 12, None), (1 << 13, 1 << 6)])
+def test_distributed_matches_single_chip(mesh, rng, n, n0):
+    cfg = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, n, strategy="six_step", n0=n0,
+        n1=None if n0 is None else n // n0,
+    )
+    dntt = DistributedNTT(cfg, mesh)
+    sntt = NTT(cfg)
+    x = rng.integers(0, cfg.modulus, n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+
+    fwd_d = u64_to_numpy(dntt.fc.normalize(dntt.compute_forward(xd)))
+    fwd_s = u64_to_numpy(sntt.fc.normalize(sntt.compute_forward(u64_from_numpy(x))))
+    np.testing.assert_array_equal(fwd_d, fwd_s)
+
+
+def test_distributed_roundtrip(mesh, rng):
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step")
+    dntt = DistributedNTT(cfg, mesh)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+    back = dntt.compute_inverse(dntt.compute_forward(xd))
+    np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
+
+
+def test_output_stays_sharded(mesh, rng):
+    """Forward output must remain row-sharded (no implicit gather)."""
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step")
+    dntt = DistributedNTT(cfg, mesh)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+    out = dntt.compute_forward(xd)
+    assert out.lo.sharding.is_equivalent_to(dntt.sharding(), out.lo.ndim)
