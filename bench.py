@@ -55,13 +55,11 @@ def main() -> None:
     n = 1 << log2n
 
     cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, n)
+    ntt = NTT(cfg, enable_inverse=False)
     print(
-        f"bench: n=2^{log2n} strategy={cfg.resolved_strategy} "
-        f"split={cfg.split if cfg.resolved_strategy != 'iterative' else '-'} "
-        f"platform={jax.devices()[0].platform}",
+        f"bench: n=2^{log2n} plan={ntt.plan} platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
-    ntt = NTT(cfg, enable_inverse=False)
 
     rng = np.random.default_rng(0)
     x = u64_from_numpy(rng.integers(0, cfg.modulus, n, dtype=np.uint64))
@@ -83,12 +81,15 @@ def main() -> None:
     assert first == want0, f"correctness check failed: {first} != {want0}"
     print("bench: X[0] matches DFT definition", file=sys.stderr)
 
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(ntt.compute_forward(x))
-        times.append(time.perf_counter() - t0)
-    ms = float(np.median(times) * 1e3)
+    # Chained dependent calls inside one block: single-call timings through
+    # the axon tunnel carry a flat ~27 ms completion-poll latency.
+    chain = max(iters, 10)
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        y = ntt.compute_forward(y)
+    jax.block_until_ready(y)
+    ms = (time.perf_counter() - t0) / chain * 1e3
 
     bytes_per_pass = 2 * 16 * n  # read + write, 16 B/point (2x u32 limb pairs)
     roofline_ms = 4 * bytes_per_pass / (_hbm_gbps() * 1e9) * 1e3

@@ -21,8 +21,10 @@ Conventions (identical to the reference's):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import NamedTuple
 
+import jax
 import numpy as np
 
 from ..field.limb import U64, FieldConsts, u64_from_numpy
@@ -36,18 +38,22 @@ class MontPair(NamedTuple):
     wp: U64
 
 
-class ForwardTables(NamedTuple):
+@dataclass(frozen=True)
+class ForwardTables:
     """Per-stage DIF twiddles for a length-m leading-axis NTT.
 
     ``stages[s]`` covers butterfly half-width ``l = m >> (s+1)`` and holds
     ``l`` twiddles ``omega_{2l}^j`` (Montgomery form) plus companions.
+    Registered as a pytree (m static) so tables pass through jit as
+    arguments rather than baked-in constants.
     """
 
     m: int
     stages: tuple[MontPair, ...]
 
 
-class InverseTables(NamedTuple):
+@dataclass(frozen=True)
+class InverseTables:
     """Per-stage DIT twiddles; the final stage is pre-scaled.
 
     ``stages[s]`` covers ``l = 1 << s`` with ``omegainv_{2l}^j``.  The last
@@ -59,6 +65,14 @@ class InverseTables(NamedTuple):
     m: int
     stages: tuple[MontPair, ...]
     scale: MontPair
+
+
+jax.tree_util.register_dataclass(
+    ForwardTables, data_fields=["stages"], meta_fields=["m"]
+)
+jax.tree_util.register_dataclass(
+    InverseTables, data_fields=["stages", "scale"], meta_fields=["m"]
+)
 
 
 def _mont_pair(mod: Modulus, values_plain: list[int]) -> MontPair:

@@ -33,7 +33,7 @@ from ..field.limb import U64, FieldConsts
 from ..ops.ntt_jnp import ntt_forward, ntt_inverse
 from ..ops.twiddle import forward_tables, inverse_tables
 from ..plan.config import NttConfig
-from ..plan.wrapper import _row_twiddles
+from ..plan.planner import row_twiddles
 from .mesh import AXIS
 
 
@@ -82,10 +82,10 @@ class DistributedNTT:
         # Inter-step twiddles live column-sharded on the device mesh.
         tw_sharding = NamedSharding(mesh, P(None, axis))
         self._fwd_tw = jax.device_put(
-            _row_twiddles(mod, n0, n1, inverse=False), tw_sharding
+            row_twiddles(mod, n0, n1, inverse=False), tw_sharding
         )
         self._inv_tw = jax.device_put(
-            _row_twiddles(mod, n0, n1, inverse=True), tw_sharding
+            row_twiddles(mod, n0, n1, inverse=True), tw_sharding
         )
 
         flat = P(axis)

@@ -1,6 +1,7 @@
-"""Transform planning: static configs and the public NTT wrapper."""
+"""Transform planning: static configs, plan trees, the public NTT wrapper."""
 
+from . import planner
 from .config import NttConfig
 from .wrapper import NTT
 
-__all__ = ["NttConfig", "NTT"]
+__all__ = ["NttConfig", "NTT", "planner"]

@@ -1,0 +1,206 @@
+"""Recursive transform planner: compose fused leaves into arbitrary lengths.
+
+The TPU-native analogue of the reference's kernel-composition type
+expressions (reference include/sventt/kernel/recursive.hpp composing layers
+and inner kernels at compile time, README.md:36-68): a ``Plan`` is a static
+tree built at config time; the executor traces it into one XLA program.
+
+* ``Leaf(m)``  -- a full length-m NTT along the leading axis, run either by
+  the fused Pallas kernel chain (ops/ntt_pallas.py, m <= MAX_FUSED) or the
+  pure-jnp engine (ops/ntt_jnp.py).
+* ``Split(m0, m1)`` -- the six-step decomposition m = m0*m1 (reference
+  layer/sve/generic.hpp + kernel/recursive.hpp:61-75): column NTTs (recurse,
+  length m0), inter-step twiddle multiply, transpose, row NTTs (recurse,
+  length m1), transpose back.  Output is bit-reversed order exactly like a
+  Leaf of the same length, so nodes compose freely -- bit-compatibility with
+  the golden model is preserved inductively at every level.
+
+Each split level costs two XLA transposes and one twiddle pass over the
+data; depth is minimized by splitting only while m > MAX_FUSED.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..field.limb import U64, FieldConsts
+from ..field.modulus import Modulus
+from ..ops import ntt_pallas
+from ..ops.ntt_jnp import ntt_forward, ntt_inverse
+from ..ops.twiddle import (
+    MontPair,
+    forward_tables,
+    inverse_tables,
+    sixstep_row_twiddles,
+    sixstep_row_twiddles_device,
+    sixstep_row_twiddles_inverse,
+)
+
+#: Above this element count inter-step twiddle matrices are generated on
+#: device (lax.scan Montgomery recurrence) instead of host Python ints.
+DEVICE_TWIDDLE_THRESHOLD = 1 << 16
+
+
+def row_twiddles(mod: Modulus, n0: int, n1: int, *, inverse: bool) -> MontPair:
+    if n0 * n1 > DEVICE_TWIDDLE_THRESHOLD:
+        return sixstep_row_twiddles_device(mod, n0, n1, inverse=inverse)
+    if inverse:
+        return sixstep_row_twiddles_inverse(mod, n0, n1)
+    return sixstep_row_twiddles(mod, n0, n1)
+
+
+@dataclass(frozen=True)
+class Leaf:
+    m: int
+    engine: str  # "pallas" | "jnp"
+
+
+@dataclass(frozen=True)
+class Split:
+    m: int
+    m0: int
+    m1: int
+    col: "Leaf | Split"
+    row: "Leaf | Split"
+
+
+def build_plan(n: int, engine: str, max_fused: int | None = None) -> "Leaf | Split":
+    """Static plan tree for a length-n transform.
+
+    ``engine`` "pallas" uses fused kernels at the leaves (lengths capped at
+    MAX_FUSED); "jnp" allows leaves up to 2^13 (VMEM is not a constraint for
+    the XLA engine, but huge single-level stage chains lose to decomposition).
+
+    Every split level costs one twiddle pass plus two transposes over the
+    whole vector, so depth is minimized: log2(n) is cut into the fewest
+    near-equal factors each <= max_fused, e.g. with max_fused = 2^9:
+    2^17 -> 2^8 x 2^9 (the reference flagship split, README.md:18-68),
+    2^24 -> 2^8 x (2^8 x 2^8) -- the reference's blocked six-step idea one
+    level deeper.
+    """
+    if max_fused is None:
+        max_fused = ntt_pallas.MAX_FUSED if engine == "pallas" else 1 << 13
+    if n <= max_fused:
+        return Leaf(n, engine)
+    log2n = n.bit_length() - 1
+    log2f = max_fused.bit_length() - 1
+    k = -(-log2n // log2f)  # number of near-equal factors
+    log2n0 = log2n // k  # smallest factor goes on the column side
+    n0 = 1 << log2n0
+    n1 = n // n0
+    return Split(
+        n, n0, n1, build_plan(n0, engine, max_fused), build_plan(n1, engine, max_fused)
+    )
+
+
+class PlanTables:
+    """Device twiddle tables for every node of a plan, one direction.
+
+    Registered as a pytree (the dict values are the data leaves) so a whole
+    table set is passed to jitted transforms as an argument -- keeping the
+    multi-hundred-MB tables of 2^24+ transforms out of the serialized HLO.
+    """
+
+    def __init__(self, plan, mod: Modulus, fc: FieldConsts, inverse: bool):
+        self.plan = plan
+        self.mod = mod
+        self.fc = fc
+        self.inverse = inverse
+        self.leaf: dict[int, object] = {}
+        self.split_tw: dict[tuple[int, int], MontPair] = {}
+        self._prepare(plan)
+
+    @classmethod
+    def _unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.plan, obj.mod, obj.fc, obj.inverse = aux
+        obj.leaf, obj.split_tw = children
+        return obj
+
+    def _prepare(self, node):
+        if isinstance(node, Leaf):
+            if node.m in self.leaf:
+                return
+            if node.engine == "pallas":
+                mk = (
+                    ntt_pallas.make_fused_inverse
+                    if self.inverse
+                    else ntt_pallas.make_fused_forward
+                )
+                self.leaf[node.m] = mk(self.mod, node.m)
+            else:
+                mk = inverse_tables if self.inverse else forward_tables
+                self.leaf[node.m] = mk(self.mod, node.m)
+        else:
+            key = (node.m0, node.m1)
+            if key not in self.split_tw:
+                self.split_tw[key] = row_twiddles(
+                    self.mod, node.m0, node.m1, inverse=self.inverse
+                )
+            self._prepare(node.col)
+            self._prepare(node.row)
+
+
+jax.tree_util.register_pytree_node(
+    PlanTables,
+    lambda t: ((t.leaf, t.split_tw), (t.plan, t.mod, t.fc, t.inverse)),
+    PlanTables._unflatten,
+)
+
+
+def _transpose01(x: U64) -> U64:
+    perm = (1, 0) + tuple(range(2, x.lo.ndim))
+    return U64(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm))
+
+
+def _mont_mul_bcast(fc: FieldConsts, x: U64, tw: MontPair, nb: int) -> U64:
+    """Multiply (m0, m1, batch...) data by an (m0, m1) twiddle matrix."""
+    shape = tw.w.lo.shape + (1,) * nb
+    w = U64(tw.w.hi.reshape(shape), tw.w.lo.reshape(shape))
+    wp = U64(tw.wp.hi.reshape(shape), tw.wp.lo.reshape(shape))
+    return fc.mont_mul(x, w, wp)
+
+
+def run_forward(x: U64, node, tables: PlanTables) -> U64:
+    """Length-m DIF NTT along the leading axis (bit-reversed output)."""
+    fc = tables.fc
+    if isinstance(node, Leaf):
+        t = tables.leaf[node.m]
+        if node.engine == "pallas":
+            return ntt_pallas.fused_ntt(x, t, fc)
+        return ntt_forward(x, t, fc)
+    m0, m1 = node.m0, node.m1
+    batch = x.lo.shape[1:]
+    mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
+    mat = run_forward(mat, node.col, tables)  # column NTTs, leading axis m0
+    mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+    mat = _transpose01(mat)  # (m1, m0, batch)
+    mat = run_forward(mat, node.row, tables)  # row NTTs, leading axis m1
+    mat = _transpose01(mat)  # (m0, m1, batch)
+    return U64(
+        mat.hi.reshape((node.m,) + batch), mat.lo.reshape((node.m,) + batch)
+    )
+
+
+def run_inverse(x: U64, node, tables: PlanTables) -> U64:
+    """Mirror of run_forward (reference kernel/recursive.hpp:116-139)."""
+    fc = tables.fc
+    if isinstance(node, Leaf):
+        t = tables.leaf[node.m]
+        if node.engine == "pallas":
+            return ntt_pallas.fused_ntt(x, t, fc)
+        return ntt_inverse(x, t, fc)
+    m0, m1 = node.m0, node.m1
+    batch = x.lo.shape[1:]
+    mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
+    mat = _transpose01(mat)
+    mat = run_inverse(mat, node.row, tables)  # undo row NTTs
+    mat = _transpose01(mat)
+    mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+    mat = run_inverse(mat, node.col, tables)  # undo column NTTs
+    return U64(
+        mat.hi.reshape((node.m,) + batch), mat.lo.reshape((node.m,) + batch)
+    )
