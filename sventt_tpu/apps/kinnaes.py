@@ -1,0 +1,211 @@
+"""Kinnaes closed-form magic-series count: NTT-free roots-of-unity sum.
+
+TPU-native re-design of reference examples/magic-series-kinnaes/kinnaes.hpp
+(SURVEY.md 2.3): evaluates
+
+    M(m) = ( 2 * sum_{j=1}^{n/2} T_j  +  C(m^2, m) ) / n   (mod N)
+
+    T_j = prod_{l=1}^{m} (w^{j(m^2-m+l)} - 1)
+          ---------------------------------------   with w a primitive n-th
+          w^{j r} * prod_{l=1}^{m} (w^{j l} - 1)    root of unity, r = m^2(m-1)/2
+
+which samples the Gaussian binomial at all n-th roots of unity and averages
+out every exponent except r; exact when n > r (kinnaes.hpp:28-56 computes the
+same pairing j <-> n-j into a half-range sum plus the j=0 binomial term).
+
+Where the reference vectorizes over SVE lanes with fraction-free accumulation
+(kinnaes.hpp:107-146), the TPU version lays all n/2 values of j across a
+device vector: per-lane w^j by binary powering, an m-step lax.fori_loop of
+elementwise Montgomery products, Fermat batch inversion of the denominators,
+and a log-depth modular sum reduction.  This doubles as the raw-modmul
+throughput showcase the reference intends it to be.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field.limb import FieldConsts, U64, u64_from_int, u64_from_numpy
+from ..field.modulus import Modulus
+
+
+def _small_primes(limit: int):
+    sieve = np.ones(limit + 1, dtype=bool)
+    sieve[:2] = False
+    for p in range(2, int(limit**0.5) + 1):
+        if sieve[p]:
+            sieve[p * p :: p] = False
+    return np.flatnonzero(sieve)
+
+
+def kinnaes_parameters(m: int, bits: int = 62) -> tuple[int, int, int]:
+    """(N, generator, n) for the closed form: n odd with every prime factor
+    > m (so the denominator products never vanish at any n-th root of unity
+    with j != 0), n > r for exactness, and N = k*n + 1 prime.
+
+    Role of reference generate-parameters.py (sympy) in pure Python: the
+    reference likewise scans n in (r, 2r) requiring min prime factor > m,
+    then collects primes N = k*n + 1.
+    """
+    r = m * m * (m - 1) // 2
+    primes = _small_primes(max(m, 3))
+    n = r + 1
+    if n % 2 == 0:
+        n += 1
+    while True:
+        if all(n % int(p) for p in primes):
+            break
+        n += 2
+    # Largest prime N = k*n + 1 below 2^bits.
+    from ..field.modulus import find_generator, is_probable_prime
+
+    k = ((1 << bits) - 2) // n
+    while k > 0:
+        N = k * n + 1
+        if is_probable_prime(N):
+            return N, find_generator(N), n
+        k -= 1
+    raise ValueError("no prime found")
+
+
+# -- host golden model (exact Python ints) ------------------------------------
+
+
+def kinnaes_magic_series_count_host(
+    m: int, modulus: int, generator: int, n: int
+) -> int:
+    """Exact host evaluation of the closed form (test oracle)."""
+    N = modulus
+    mod = Modulus(N, generator)
+    w = mod.get_root_forward(n)
+    r = m * m * (m - 1) // 2
+    total = 0
+    for j in range(1, n // 2 + 1):
+        wj = pow(w, j, N)
+        num = den = 1
+        t_num = pow(wj, m * m - m + 1, N)
+        t_den = wj
+        for _ in range(m):
+            num = num * (t_num - 1) % N
+            den = den * (t_den - 1) % N
+            t_num = t_num * wj % N
+            t_den = t_den * wj % N
+        den = den * pow(wj, r, N) % N
+        total = (total + num * pow(den, N - 2, N)) % N
+    comb = math.comb(m * m, m) % N
+    return (2 * total + comb) * pow(n, N - 2, N) % N
+
+
+# -- device implementation ----------------------------------------------------
+
+
+def _pow_by_lane_index(fc: FieldConsts, base: int, j: np.ndarray, N: int) -> U64:
+    """w = base^{j} per lane, by binary powering with per-lane selects."""
+    from ..field.limb import u64_select
+
+    bits = int(j.max()).bit_length()
+    result = u64_from_numpy(np.full(j.shape, 1, dtype=np.uint64))
+    sq = base % N
+    jd = jnp.asarray(j.astype(np.uint32))
+    for b in range(bits):
+        mult = fc.mont_mul_full(
+            fc.mont_mul_full(result, u64_from_int(sq)),
+            u64_from_int(Modulus(N).montgomery_r2),
+        )
+        take = (jd >> np.uint32(b)) & np.uint32(1) != 0
+        result = u64_select(take, mult, result)
+        sq = sq * sq % N
+    return result
+
+
+def _reduce_fractions(fc: FieldConsts, num: U64, den: U64, mul) -> tuple[U64, U64]:
+    """Fraction-free log-depth reduction of sum(num[i]/den[i]).
+
+    The reference accumulates (num_sum, den_sum) the same way across lanes
+    and iterations (kinnaes.hpp:133-146, 149-158); here each level halves
+    the vector: (n1, d1) + (n2, d2) -> (n1*d2 + n2*d1, d1*d2).
+    """
+
+    def slice2(x, a, b):
+        return U64(x.hi[a:b], x.lo[a:b])
+
+    n = num.lo.shape[0]
+    while n > 1:
+        half = n // 2
+        n1, d1 = slice2(num, 0, half), slice2(den, 0, half)
+        n2, d2 = slice2(num, half, 2 * half), slice2(den, half, 2 * half)
+        ns = fc.add(mul(n1, d2), mul(n2, d1))
+        ds = mul(d1, d2)
+        if n % 2:
+            ns = U64(
+                jnp.concatenate([ns.hi, num.hi[2 * half :]]),
+                jnp.concatenate([ns.lo, num.lo[2 * half :]]),
+            )
+            ds = U64(
+                jnp.concatenate([ds.hi, den.hi[2 * half :]]),
+                jnp.concatenate([ds.lo, den.lo[2 * half :]]),
+            )
+            n = half + 1
+        else:
+            n = half
+        num, den = ns, ds
+    return num, den
+
+
+def kinnaes_magic_series_count(
+    m: int,
+    modulus: int | None = None,
+    generator: int | None = None,
+    n: int | None = None,
+) -> int:
+    """Device evaluation of the Kinnaes closed form; exact when M(m) < N."""
+    r = m * m * (m - 1) // 2
+    if modulus is None:
+        modulus, generator, n = kinnaes_parameters(m)
+    N = modulus
+    mod = Modulus(N, generator)
+    if (N - 1) % n:
+        raise ValueError("n must divide N - 1")
+    if n <= r:
+        raise ValueError("need n > r for exactness")
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    w = mod.get_root_forward(n)
+
+    j = np.arange(1, n // 2 + 1, dtype=np.uint64)
+    r2 = u64_from_int(mod.montgomery_r2)
+
+    def mul(a, b):
+        return fc.mont_mul_full(fc.mont_mul_full(a, b), r2)
+
+    @jax.jit
+    def compute():
+        wj = _pow_by_lane_index(fc, w, j, N)  # w^j per lane
+        t_num0 = _pow_by_lane_index(fc, pow(w, m * m - m + 1, N), j, N)
+        one = u64_from_numpy(np.full(j.shape, 1, dtype=np.uint64))
+
+        def body(_, carry):
+            num, den, t_num, t_den = carry
+            num = mul(num, fc.sub(t_num, one))
+            den = mul(den, fc.sub(t_den, one))
+            t_num = mul(t_num, wj)
+            t_den = mul(t_den, wj)
+            return num, den, t_num, t_den
+
+        num, den, _, _ = jax.lax.fori_loop(
+            0, m, body, (one, one, t_num0, wj)
+        )
+        den = mul(den, _pow_by_lane_index(fc, pow(w, r, N), j, N))
+        return _reduce_fractions(fc, num, den, mul)
+
+    s_num, s_den = compute()
+
+    def scalar(x: U64) -> int:
+        return (int(np.asarray(x.hi)[0]) << 32) | int(np.asarray(x.lo)[0])
+
+    s_int = scalar(s_num) * pow(scalar(s_den), N - 2, N) % N
+    comb = math.comb(m * m, m) % N
+    return (2 * s_int + comb) * pow(n, N - 2, N) % N

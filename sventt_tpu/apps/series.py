@@ -1,0 +1,166 @@
+"""q-series generators and the magic-series count via NTT convolution.
+
+TPU-native re-design of reference examples/magic-series/ (SURVEY.md 2.3):
+
+* ``q_pochhammer_coeffs``       <- calculate_q_pochhammer
+  (gaussian-polynomial.hpp:19-45): coefficients of (q;q)_k.
+* ``restricted_partition_series`` <- RestrictedPartition
+  (restricted-partition.hpp): the power series of 1/(q;q)_k, whose n-th
+  coefficient is p(n | parts <= k); here a vectorized numpy prefix-sum DP
+  instead of the reference's streaming (k+1)^2 rolling table.
+* ``gaussian_binomial_coefficient`` <- calculate_gaussian_polynomial_coefficient
+  (gaussian-polynomial.hpp:148-244): extracts [q^r] qbinom(n, k) as
+  numerator x (1/(q;q)_k) with the product computed by NTT convolution --
+  either one padded transform or chunked block convolution that reuses a
+  fixed-size NTT (the reference's overlap-free streaming division).
+* ``magic_series_count``: M(m) = [q^(m^2(m-1)/2)] qbinom(m^2, m)
+  (gaussian-polynomial.hpp:246-251), the end-to-end integration proof that
+  forward/inverse/pointwise compose.
+
+All coefficient vectors are canonical uint64 residues mod N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..field.modulus import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS, Modulus
+from .convolve import make_convolver, poly_multiply
+
+
+def q_pochhammer_coeffs(k: int, degree: int, modulus: int) -> np.ndarray:
+    """Coefficients [0..degree] of (q;q)_k = prod_{i=1}^{k} (1 - q^i) mod N.
+
+    Iterated multiplication by (1 - q^i), truncated at ``degree``
+    (reference gaussian-polynomial.hpp:19-45 without the exact-size
+    requirement: truncation makes it usable as a series factor).
+    """
+    N = modulus
+    coeff = np.zeros(degree + 1, dtype=np.uint64)
+    coeff[0] = 1
+    for i in range(1, k + 1):
+        if i > degree:
+            break
+        # c[j] -= c[j - i] for j >= i, processed high-to-low via vector ops
+        head = coeff[: degree + 1 - i].copy()
+        tail = coeff[i:]
+        coeff[i:] = (tail.astype(object) - head.astype(object)) % N
+    return coeff.astype(np.uint64)
+
+
+def restricted_partition_series(k: int, degree: int, modulus: int) -> np.ndarray:
+    """Coefficients [0..degree] of 1/(q;q)_k mod N.
+
+    The n-th coefficient is p(n | parts <= k).  Computed by the standard
+    part-by-part prefix recurrence c[j] += c[j - i] (i = 1..k), which is the
+    closed-form content of the reference's RestrictedPartition DP table
+    (reference restricted-partition.hpp:37-50) in dense vector form.
+    """
+    N = modulus
+    c = np.zeros(degree + 1, dtype=object)
+    c[0] = 1
+    for i in range(1, k + 1):
+        for j in range(i, degree + 1):
+            c[j] = (c[j] + c[j - i]) % N
+    return c.astype(np.uint64)
+
+
+def _qbinom_numerator(n: int, k: int, degree: int, modulus: int) -> np.ndarray:
+    """Coefficients [0..degree] of prod_{i=n-k+1}^{n} (1 - q^i) mod N."""
+    N = modulus
+    coeff = np.zeros(degree + 1, dtype=np.uint64)
+    coeff[0] = 1
+    for i in range(n - k + 1, n + 1):
+        if i > degree:
+            continue
+        head = coeff[: degree + 1 - i].copy()
+        tail = coeff[i:]
+        coeff[i:] = (tail.astype(object) - head.astype(object)) % N
+    return coeff
+
+
+def gaussian_binomial_coefficient(
+    n: int,
+    k: int,
+    r: int,
+    modulus: int = FLAGSHIP_MODULUS,
+    generator: int = FLAGSHIP_GENERATOR,
+    *,
+    ntt=None,
+    chunk: int | None = None,
+) -> int:
+    """[q^r] of the Gaussian binomial qbinom(n, k) mod N.
+
+    qbinom(n, k) = numerator / (q;q)_k as power series; the division is a
+    multiplication by the restricted-partition series, computed on device by
+    NTT convolution.  ``chunk`` selects the block-convolution path: the
+    series is processed in blocks of that many coefficients reusing one
+    fixed-size NTT, mirroring the reference's chunked streaming division
+    (gaussian-polynomial.hpp:196-241).
+    """
+    num = _qbinom_numerator(n, k, r, modulus)
+    inv = restricted_partition_series(k, r, modulus)
+    if chunk is None:
+        prod = poly_multiply(num, inv, modulus, generator, out_len=r + 1, ntt=ntt)
+        return int(prod[r])
+    # Block convolution: coefficient r of num * inv =
+    # sum over blocks b of num: conv(num[b], inv-window) aligned at r.
+    if ntt is None:
+        size = 1 << max(2, (2 * chunk - 1).bit_length())
+        ntt = make_convolver(modulus, generator, size)
+    acc = 0
+    for start in range(0, r + 1, chunk):
+        num_blk = num[start : start + chunk]
+        if not num_blk.any():
+            continue
+        # inv window that can contribute to coefficient r via this block
+        w_hi = r - start  # highest inv index needed
+        w_lo = max(0, r - (start + len(num_blk) - 1))
+        inv_win = inv[w_lo : w_hi + 1]
+        prod = poly_multiply(num_blk, inv_win, modulus, generator, ntt=ntt)
+        idx = r - start - w_lo
+        if 0 <= idx < len(prod):
+            acc = (acc + int(prod[idx])) % modulus
+    return acc
+
+
+def magic_series_count(
+    m: int,
+    modulus: int = FLAGSHIP_MODULUS,
+    generator: int = FLAGSHIP_GENERATOR,
+    **kw,
+) -> int:
+    """Number of magic series of order m, mod N.
+
+    M(m) = [q^(m^2(m-1)/2)] qbinom(m^2, m)
+    (reference gaussian-polynomial.hpp:246-251).  Exact as an integer
+    whenever M(m) < N.
+    """
+    r = m * m * (m - 1) // 2
+    if m == 1:
+        return 1
+    return gaussian_binomial_coefficient(m * m, m, r, modulus, generator, **kw)
+
+
+# -- host golden model (exact Python ints, test oracle) -----------------------
+
+
+def magic_series_count_exact(m: int) -> int:
+    """Independent exact count via integer polynomial arithmetic.
+
+    Coefficient extraction from prod_{i=1}^{m^2} (1 + z q^i) at z^m,
+    q^(m(m^2+1)/2) -- the defining generating function, no shared code with
+    the NTT pipeline (the role of the reference's big-int ground truth,
+    test-magic-series.cpp:300-334).  Feasible for m <= 6.
+    """
+    target = m * (m * m + 1) // 2
+    # dp[j][s] = number of j-subsets of {1..i} with sum s
+    dp = [[0] * (target + 1) for _ in range(m + 1)]
+    dp[0][0] = 1
+    for i in range(1, m * m + 1):
+        for j in range(min(m, i), 0, -1):
+            row, prev = dp[j], dp[j - 1]
+            for s in range(target, i - 1, -1):
+                if prev[s - i]:
+                    row[s] += prev[s - i]
+    return dp[m][target]
