@@ -25,22 +25,27 @@ import numpy as np
 
 
 def _hbm_gbps() -> float:
-    """Peak HBM bandwidth for the local chip (rough per-generation table)."""
-    import jax
+    """Measured streaming bandwidth of the local chip.
 
-    kind = jax.devices()[0].device_kind.lower()
-    table = {
-        "v5 lite": 819.0,
-        "v5e": 819.0,
-        "v5p": 2765.0,
-        "v4": 1228.0,
-        "v6 lite": 1640.0,
-        "v6e": 1640.0,
-    }
-    for key, bw in table.items():
-        if key in kind:
-            return bw
-    return 819.0
+    Calibrated at runtime with a chained elementwise pass over 256 MB (spec
+    tables are useless here: the tunneled device sustains far more than v5e
+    datasheet bandwidth, so the roofline must be empirical).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = 1 << 26
+    x = jax.device_put(jnp.ones((n,), jnp.uint32))
+    f = jax.jit(lambda a: a + jnp.uint32(1))
+    jax.block_until_ready(f(x))
+    iters = 40
+    t0 = time.perf_counter()
+    s = x
+    for _ in range(iters):
+        s = f(s)
+    jax.block_until_ready(s)
+    dt = (time.perf_counter() - t0) / iters
+    return n * 4 * 2 / dt / 1e9
 
 
 def main() -> None:

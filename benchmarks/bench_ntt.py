@@ -1,0 +1,109 @@
+"""NTT configuration-matrix benchmark with built-in verification.
+
+The analogue of the reference's combined test+benchmark binaries
+(reference tests/bench-ntt.cpp + tests/ntt-tests/*.hpp, SURVEY.md 2.2):
+every configuration is timed AND verified in the same run -- small sizes
+bit-exactly against the native golden oracle, large sizes by DFT-definition
+spot checks (X[0] = sum, X[1] = alternating sum) plus forward/inverse
+round trip.
+
+Emits one JSON line per config:
+  {"config", "n", "engine", "modmul", "direction", "ms", "gbutterfly_s",
+   "verified"}
+
+Usage: python benchmarks/bench_ntt.py [--quick]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+from benchmarks.common import chain_time_ms, emit, log
+from sventt_tpu import (
+    FLAGSHIP_GENERATOR,
+    FLAGSHIP_MODULUS,
+    TEST_GENERATOR,
+    TEST_MODULUS,
+    native,
+)
+from sventt_tpu.field.limb import U64, u64_from_numpy, u64_to_numpy
+from sventt_tpu.plan import NTT, NttConfig
+
+#: (name, log2n, modulus, generator, engine, modmul) -- mirrors the
+#: reference's test matrix (iterative 2^10..2^13, four/six-step 2^15/2^17,
+#: blocked 2^24) on both the 62-bit test modulus and the 64-bit flagship.
+CONFIGS = [
+    ("iterative-2p10", 10, TEST_MODULUS, TEST_GENERATOR, "auto", "auto"),
+    ("iterative-2p12", 12, TEST_MODULUS, TEST_GENERATOR, "auto", "auto"),
+    ("sixstep-2p15", 15, TEST_MODULUS, TEST_GENERATOR, "auto", "auto"),
+    ("sixstep-2p17-flagship", 17, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("sixstep-2p20-flagship", 20, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("sixstep-2p20-jnp", 20, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "jnp", "auto"),
+    ("blocked-2p24-flagship", 24, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("blocked-2p24-shoup", 24, TEST_MODULUS, TEST_GENERATOR, "auto", "shoup"),
+]
+
+QUICK = {"iterative-2p10", "sixstep-2p17-flagship"}
+
+
+def verify(ntt: NTT, x: np.ndarray, fwd_dev: U64) -> bool:
+    n = ntt.get_m()
+    N = ntt.config.modulus
+    fwd = u64_to_numpy(ntt.fc.normalize(fwd_dev))
+    if n <= (1 << 16) and native.available():
+        want = native.golden_forward(x, N, ntt.config.generator)
+        if not (fwd == want).all():
+            return False
+    else:
+        s = int(x.astype(object).sum() % N)
+        alt = int((x[0::2].astype(object).sum() - x[1::2].astype(object).sum()) % N)
+        if int(fwd[0]) != s or int(fwd[1]) != alt:
+            return False
+    if ntt._inv is not None:
+        back = ntt.inverse_numpy(fwd)
+        return bool((back == x).all())
+    return True
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    rng = np.random.default_rng(0)
+    for name, log2n, N, g, engine, modmul in CONFIGS:
+        if quick and name not in QUICK:
+            continue
+        n = 1 << log2n
+        cfg = NttConfig(N, g, n, engine=engine, modmul=modmul)
+        log(f"bench_ntt: {name} ...")
+        ntt = NTT(cfg)
+        x = rng.integers(0, N, n, dtype=np.uint64)
+        xd = jax.device_put(u64_from_numpy(x))
+
+        fwd = ntt.compute_forward(xd)
+        ok = verify(ntt, x, fwd)
+
+        iters = 20 if log2n <= 20 else 8
+        ms_f = chain_time_ms(lambda s: ntt.compute_forward(s), xd, iters)
+        ms_i = chain_time_ms(lambda s: ntt.compute_inverse(s), fwd, iters)
+        bfly = n * log2n / 2
+        for direction, ms in (("forward", ms_f), ("inverse", ms_i)):
+            emit(
+                {
+                    "config": name,
+                    "n": n,
+                    "engine": ntt.engine,
+                    "modmul": ntt.fc.modmul,
+                    "direction": direction,
+                    "ms": round(ms, 4),
+                    "gbutterfly_s": round(bfly / ms / 1e6, 3),
+                    "verified": ok,
+                }
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -244,9 +244,18 @@ class FieldConsts:
     modulus: int
     montgomery_inverse: int  # N^-1 mod 2^64
     lazy: bool  # values in [0, 2N) vs canonical [0, N)
+    #: Twiddle-multiply engine: "montgomery" (PAdic64, reference
+    #: modmul/sve/p-adic-64.hpp) or "shoup" (FixedPoint64, reference
+    #: modmul/scalar/fixed-point-64.hpp).  Shoup needs one fewer u64
+    #: multiply per butterfly but requires bit_width(N) <= 62 here (lazy
+    #: range discipline); pointwise data*data products always use
+    #: Montgomery (Shoup needs a precomputed companion).
+    modmul: str = "montgomery"
 
     @classmethod
-    def from_modulus(cls, mod: Modulus, lazy: bool | None = None) -> "FieldConsts":
+    def from_modulus(
+        cls, mod: Modulus, lazy: bool | None = None, modmul: str = "montgomery"
+    ) -> "FieldConsts":
         if lazy is None:
             lazy = mod.bit_width <= 62
         if lazy and mod.bit_width > 62:
@@ -254,7 +263,16 @@ class FieldConsts:
                 "lazy [0,2N) arithmetic requires bit_width(N) <= 62; "
                 f"modulus has {mod.bit_width} bits"
             )
-        return cls(mod.modulus, mod.montgomery_inverse, lazy)
+        if modmul == "auto":
+            # Montgomery by default: Shoup saves ~16% at HBM-scale n (2^24)
+            # but loses the XLA VMEM-resident fast path at mid sizes; until
+            # the autotuner picks per-config, predictable wins.
+            modmul = "montgomery"
+        if modmul not in ("montgomery", "shoup"):
+            raise ValueError(f"unknown modmul engine {modmul!r}")
+        if modmul == "shoup" and not lazy:
+            raise ValueError("shoup engine requires lazy mode (bit_width <= 62)")
+        return cls(mod.modulus, mod.montgomery_inverse, lazy, modmul)
 
     # -- addition/subtraction ------------------------------------------------
 
@@ -352,11 +370,22 @@ class FieldConsts:
 
     # -- butterflies -------------------------------------------------------------
 
+    def twiddle_mul(self, a: U64, w: U64, wp: U64) -> U64:
+        """Multiply by a prepared twiddle pair, via the configured engine.
+
+        Montgomery: ``w`` in Montgomery form, ``wp = w * N^-1 mod 2^64``.
+        Shoup: ``w`` plain canonical, ``wp = floor(w * 2^64 / N)``.
+        Table builders (ops/twiddle.py) prepare the matching companion.
+        """
+        if self.modmul == "shoup":
+            return self.shoup_mul(a, w, wp)
+        return self.mont_mul(a, w, wp)
+
     def butterfly_forward(self, x0: U64, x1: U64, w: U64, wp: U64) -> tuple[U64, U64]:
         """DIF (Gentleman-Sande) butterfly: (x0 + x1, (x0 - x1) * w).
 
         Reference modmul/sve/p-adic-64.hpp:142-178.  In lazy mode the
-        difference is biased by +2N before the Montgomery multiply so the
+        difference is biased by +2N before the twiddle multiply so the
         multiplicand stays in (0, 4N) (reference layer/scalar/radix-two.hpp:50
         applies the same +2N bias).
         """
@@ -365,7 +394,7 @@ class FieldConsts:
             d = u64_add(u64_sub(x0, x1), u64_const_like(2 * self.modulus, x0))
         else:
             d = self.sub(x0, x1)
-        return y0, self.mont_mul(d, w, wp)
+        return y0, self.twiddle_mul(d, w, wp)
 
     def butterfly_forward_notwiddle(self, x0: U64, x1: U64) -> tuple[U64, U64]:
         """DIF butterfly with w == 1 (reference modmul/sve/p-adic-64.hpp:117-140)."""
@@ -374,7 +403,7 @@ class FieldConsts:
     def butterfly_inverse(self, x0: U64, x1: U64, w: U64, wp: U64) -> tuple[U64, U64]:
         """DIT butterfly: t = x1 * w; (x0 + t, x0 - t)
         (reference modmul/sve/p-adic-64.hpp:225-246)."""
-        t = self.mont_mul(x1, w, wp)
+        t = self.twiddle_mul(x1, w, wp)
         return self.add(x0, t), self.sub(x0, t)
 
     def butterfly_inverse_scaled(
@@ -388,6 +417,6 @@ class FieldConsts:
         (reference modmul/sve/p-adic-64.hpp:180-223,
         layer/sve/radix-eight.hpp:445-478).
         """
-        a = self.mont_mul(x0, s, sp)
-        b = self.mont_mul(x1, sw, swp)
+        a = self.twiddle_mul(x0, s, sp)
+        b = self.twiddle_mul(x1, sw, swp)
         return self.add(a, b), self.sub(a, b)

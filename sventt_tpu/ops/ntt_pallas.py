@@ -92,8 +92,10 @@ def _expand_pair(pair, m: int, l: int) -> tuple[jnp.ndarray, ...]:
     return tuple(out)
 
 
-def make_fused_forward(mod: Modulus, m: int) -> FusedDirection:
-    tabs = forward_tables(mod, m)
+def make_fused_forward(
+    mod: Modulus, m: int, modmul: str = "montgomery"
+) -> FusedDirection:
+    tabs = forward_tables(mod, m, modmul)
     ls, tw = [], []
     for s, pair in enumerate(tabs.stages):  # l = m/2 ... 1
         l = m >> (s + 1)
@@ -102,8 +104,10 @@ def make_fused_forward(mod: Modulus, m: int) -> FusedDirection:
     return FusedDirection(m, False, tuple(ls), tuple(tw), ())
 
 
-def make_fused_inverse(mod: Modulus, m: int, scale_extra: int = 1) -> FusedDirection:
-    tabs = inverse_tables(mod, m, scale_extra)
+def make_fused_inverse(
+    mod: Modulus, m: int, scale_extra: int = 1, modmul: str = "montgomery"
+) -> FusedDirection:
+    tabs = inverse_tables(mod, m, scale_extra, modmul)
     ls, tw = [], []
     for s, pair in enumerate(tabs.stages):  # l = 1 ... m/2
         l = 1 << s

@@ -1,0 +1,69 @@
+"""Transpose strategies for the six-step decomposition.
+
+The reference maintains a 14-class zoo of SVE transposes (in-register
+shuffles, gathers, explicit L1 blocking -- reference
+include/sventt/transposition/, SURVEY.md 2.1 #27-37) selected by benchmark.
+On TPU the same role collapses to two strategies selected the same way
+(benchmarks/bench_transpose.py is the autotuning corpus):
+
+* ``xla``    -- `jnp.swapaxes`: XLA's native tiled transpose.
+* ``pallas`` -- a blocked Pallas kernel: (BR, BC) tiles DMA'd to VMEM,
+  transposed in-registers (Mosaic relayout), written to the swapped block
+  position -- the analogue of the reference's in-register subblock
+  transposes (transposition/sve/in-register.hpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field.limb import U64
+
+
+def transpose_xla(x: jnp.ndarray) -> jnp.ndarray:
+    """Swap the two leading axes via XLA (any trailing batch dims)."""
+    perm = (1, 0) + tuple(range(2, x.ndim))
+    return jnp.transpose(x, perm)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("br", "bc"))
+def transpose_pallas(x: jnp.ndarray, br: int = 256, bc: int = 256) -> jnp.ndarray:
+    """Blocked 2-D Pallas transpose of a (R, C) array -> (C, R).
+
+    Requires R % br == 0 and C % bc == 0.
+    """
+    r, c = x.shape
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:].T
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, r), x.dtype),
+        grid=(r // br, c // bc),
+        in_specs=[
+            pl.BlockSpec((br, bc), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (bc, br), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        interpret=_use_interpret(),
+    )(x)
+
+
+def transpose_u64(x: U64, strategy: str = "xla", **kw) -> U64:
+    """Transpose both limb planes with the chosen strategy."""
+    if strategy == "xla":
+        return U64(transpose_xla(x.hi), transpose_xla(x.lo))
+    if strategy == "pallas":
+        return U64(transpose_pallas(x.hi, **kw), transpose_pallas(x.lo, **kw))
+    raise ValueError(f"unknown transpose strategy {strategy!r}")

@@ -83,6 +83,21 @@ def _mont_pair(mod: Modulus, values_plain: list[int]) -> MontPair:
     return MontPair(u64_from_numpy(wm), u64_from_numpy(wp))
 
 
+def _twiddle_pair(mod: Modulus, values_plain: list[int], modmul: str) -> MontPair:
+    """Twiddle + companion for the configured engine (FieldConsts.modmul).
+
+    Montgomery: (w*R mod N, w*R*N^-1 mod 2^64); Shoup: (w canonical,
+    floor(w * 2^64 / N)) (reference modmul/scalar/fixed-point-64.hpp:24-40).
+    """
+    if modmul == "montgomery":
+        return _mont_pair(mod, values_plain)
+    w = np.array([v % mod.modulus for v in values_plain], dtype=np.uint64)
+    wp = np.array(
+        [mod.shoup_precompute(int(v)) for v in w], dtype=np.uint64
+    )
+    return MontPair(u64_from_numpy(w), u64_from_numpy(wp))
+
+
 def _powers(base: int, count: int, N: int) -> list[int]:
     out, x = [], 1
     for _ in range(count):
@@ -91,7 +106,7 @@ def _powers(base: int, count: int, N: int) -> list[int]:
     return out
 
 
-def forward_tables(mod: Modulus, m: int) -> ForwardTables:
+def forward_tables(mod: Modulus, m: int, modmul: str = "montgomery") -> ForwardTables:
     """DIF stage tables for the golden forward recursion
     (reference tests/ntt-reference.hpp:43-61 twiddle schedule)."""
     if m & (m - 1) or m < 2:
@@ -102,12 +117,14 @@ def forward_tables(mod: Modulus, m: int) -> ForwardTables:
     stages = []
     for i in range(log2m - 1, -1, -1):
         l = 1 << i
-        stages.append(_mont_pair(mod, _powers(omega_2l, l, N)))
+        stages.append(_twiddle_pair(mod, _powers(omega_2l, l, N), modmul))
         omega_2l = omega_2l * omega_2l % N
     return ForwardTables(m, tuple(stages))
 
 
-def inverse_tables(mod: Modulus, m: int, scale_extra: int = 1) -> InverseTables:
+def inverse_tables(
+    mod: Modulus, m: int, scale_extra: int = 1, modmul: str = "montgomery"
+) -> InverseTables:
     """DIT stage tables with 1/m (times ``scale_extra``) folded into the last
     stage (reference tests/ntt-reference.hpp:63-83 schedule + the
     inverse_factor fold of layer/sve/radix-eight.hpp:445-478)."""
@@ -124,8 +141,8 @@ def inverse_tables(mod: Modulus, m: int, scale_extra: int = 1) -> InverseTables:
         tw = _powers(omegainv_2l, l, N)
         if i == log2m - 1:
             tw = [t * s % N for t in tw]  # fold scaling into final stage
-        stages.append(_mont_pair(mod, tw))
-    scale = _mont_pair(mod, [s])
+        stages.append(_twiddle_pair(mod, tw, modmul))
+    scale = _twiddle_pair(mod, [s], modmul)
     return InverseTables(m, tuple(stages), scale)
 
 

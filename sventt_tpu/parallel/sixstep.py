@@ -30,10 +30,10 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..field.limb import U64, FieldConsts
-from ..ops.ntt_jnp import ntt_forward, ntt_inverse
-from ..ops.twiddle import forward_tables, inverse_tables
+from ..plan import planner
 from ..plan.config import NttConfig
-from ..plan.planner import row_twiddles
+from ..plan.planner import PlanTables, row_twiddles
+from ..plan.wrapper import _resolve_engine
 from .mesh import AXIS
 
 
@@ -74,11 +74,18 @@ class DistributedNTT:
         self.axis = axis
         self.n0, self.n1 = n0, n1
         mod = config.mod
-        self.fc = FieldConsts.from_modulus(mod, lazy=config.lazy)
-        self._fwd_col = forward_tables(mod, n0)
-        self._fwd_row = forward_tables(mod, n1)
-        self._inv_col = inverse_tables(mod, n0)
-        self._inv_row = inverse_tables(mod, n1)
+        self.fc = FieldConsts.from_modulus(
+            mod, lazy=config.lazy, modmul=config.modmul
+        )
+        # Local sub-transforms run full plan trees (fused Pallas leaves on
+        # TPU), exactly like the single-chip wrapper's sub-NTTs.
+        engine = _resolve_engine(config.engine)
+        self._col_plan = planner.build_plan(n0, engine)
+        self._row_plan = planner.build_plan(n1, engine)
+        self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)
+        self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
+        self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
+        self._inv_row = PlanTables(self._row_plan, mod, self.fc, inverse=True)
         # Inter-step twiddles live column-sharded on the device mesh.
         tw_sharding = NamedSharding(mesh, P(None, axis))
         self._fwd_tw = jax.device_put(
@@ -90,11 +97,12 @@ class DistributedNTT:
 
         flat = P(axis)
         tw = P(None, axis)
+        rep = P()  # sub-transform tables are replicated on every chip
         self._forward = jax.jit(
             jax.shard_map(
                 self._forward_local,
                 mesh=mesh,
-                in_specs=(flat, tw),
+                in_specs=(flat, tw, rep, rep),
                 out_specs=flat,
             )
         )
@@ -102,7 +110,7 @@ class DistributedNTT:
             jax.shard_map(
                 self._inverse_local,
                 mesh=mesh,
-                in_specs=(flat, tw),
+                in_specs=(flat, tw, rep, rep),
                 out_specs=flat,
             )
         )
@@ -117,14 +125,14 @@ class DistributedNTT:
         return NamedSharding(self.mesh, P(self.axis))
 
     def compute_forward(self, x: U64) -> U64:
-        return self._forward(x, self._fwd_tw)
+        return self._forward(x, self._fwd_tw, self._fwd_col, self._fwd_row)
 
     def compute_inverse(self, x: U64) -> U64:
-        return self._inverse(x, self._inv_tw)
+        return self._inverse(x, self._inv_tw, self._inv_row, self._inv_col)
 
     # -- local (per-shard) schedules ---------------------------------------
 
-    def _forward_local(self, x: U64, tw) -> U64:
+    def _forward_local(self, x: U64, tw, col_tables, row_tables) -> U64:
         n0, n1 = self.n0, self.n1
         D = self.mesh.shape[self.axis]
         w, wp = tw  # local (n0, n1/D) each
@@ -132,29 +140,29 @@ class DistributedNTT:
         # [comm 1] row shards -> column shards: (n0/D, n1) -> (n0, n1/D)
         mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
         # column NTTs: full leading axis n0 is local
-        mat = ntt_forward(mat, self._fwd_col, self.fc)
+        mat = planner.run_forward(mat, self._col_plan, col_tables)
         mat = self.fc.mont_mul(mat, w, wp)
         # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
         mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
         mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
         # row NTTs: full leading axis n1 is local
-        mat = ntt_forward(mat, self._fwd_row, self.fc)
+        mat = planner.run_forward(mat, self._row_plan, row_tables)
         # local transpose: (n1, n0/D) -> (n0/D, n1) = flat bit-reversed shard
         mat = _transpose01(mat)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)
 
-    def _inverse_local(self, x: U64, tw) -> U64:
+    def _inverse_local(self, x: U64, tw, row_tables, col_tables) -> U64:
         n0, n1 = self.n0, self.n1
         D = self.mesh.shape[self.axis]
         w, wp = tw
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         mat = _transpose01(mat)  # (n1, n0/D)
-        mat = ntt_inverse(mat, self._inv_row, self.fc)  # undo row NTTs
+        mat = planner.run_inverse(mat, self._row_plan, row_tables)
         mat = _transpose01(mat)  # (n0/D, n1)
         # undo [comm 2]
         mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
         mat = self.fc.mont_mul(mat, w, wp)  # undo twiddles
-        mat = ntt_inverse(mat, self._inv_col, self.fc)  # undo column NTTs
+        mat = planner.run_inverse(mat, self._col_plan, col_tables)
         # undo [comm 1]: column shards -> row shards
         mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)

@@ -43,6 +43,11 @@ class NttConfig:
     n1: int | None = None  # six-step: row-transform length (matrix cols)
     lazy: bool | None = None  # None: lazy iff bit_width(N) <= 62
     engine: str = "auto"  # "jnp" | "pallas" | "auto"
+    #: Twiddle-multiply engine (reference's PAdic64 vs FixedPoint64 choice):
+    #: "montgomery", "shoup" (needs bit_width(N) <= 62), or "auto" (shoup
+    #: when the lazy range discipline allows it -- one fewer u64 multiply
+    #: per butterfly).
+    modmul: str = "auto"
     batch: int = 1  # number of independent transforms per call
 
     # largest transform the iterative strategy handles before auto switches
@@ -62,6 +67,8 @@ class NttConfig:
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.engine not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown engine {self.engine!r}")
+        if self.modmul not in ("auto", "montgomery", "shoup"):
+            raise ValueError(f"unknown modmul engine {self.modmul!r}")
         if self.strategy == "six_step" or (
             self.strategy == "auto" and self.n > self.ITERATIVE_MAX
         ):

@@ -124,16 +124,17 @@ class PlanTables:
         if isinstance(node, Leaf):
             if node.m in self.leaf:
                 return
+            modmul = self.fc.modmul
             if node.engine == "pallas":
-                mk = (
-                    ntt_pallas.make_fused_inverse
-                    if self.inverse
-                    else ntt_pallas.make_fused_forward
-                )
-                self.leaf[node.m] = mk(self.mod, node.m)
+                if self.inverse:
+                    t = ntt_pallas.make_fused_inverse(self.mod, node.m, modmul=modmul)
+                else:
+                    t = ntt_pallas.make_fused_forward(self.mod, node.m, modmul=modmul)
+            elif self.inverse:
+                t = inverse_tables(self.mod, node.m, modmul=modmul)
             else:
-                mk = inverse_tables if self.inverse else forward_tables
-                self.leaf[node.m] = mk(self.mod, node.m)
+                t = forward_tables(self.mod, node.m, modmul=modmul)
+            self.leaf[node.m] = t
         else:
             key = (node.m0, node.m1)
             if key not in self.split_tw:

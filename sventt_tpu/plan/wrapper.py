@@ -53,7 +53,9 @@ class NTT:
     ):
         self.config = config
         self.mod = config.mod
-        self.fc = FieldConsts.from_modulus(self.mod, lazy=config.lazy)
+        self.fc = FieldConsts.from_modulus(
+            self.mod, lazy=config.lazy, modmul=config.modmul
+        )
         self.engine = _resolve_engine(config.engine)
         self.plan = self._build_plan()
         self._fwd = self._inv = None

@@ -118,3 +118,23 @@ def test_forward_only_wrapper(rng):
     ntt.forward_numpy(x)
     with pytest.raises(RuntimeError):
         ntt.inverse_numpy(x)
+
+
+def test_shoup_engine_matches_golden(rng):
+    """Explicit FixedPoint64/Shoup twiddle engine, bit-compatible mod N
+    (reference modmul/scalar/fixed-point-64.hpp semantics)."""
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 512, modmul="shoup")
+    ntt = NTT(cfg)
+    N = cfg.modulus
+    x = rng.integers(0, N, size=512, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    golden = GoldenNTT(512, cfg.mod)
+    assert [int(v) for v in fwd] == golden.forward([int(v) for v in x])
+    assert (ntt.inverse_numpy(fwd) == x).all()
+
+
+def test_shoup_requires_small_modulus():
+    from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
+
+    with pytest.raises(ValueError):
+        NTT(NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 64, modmul="shoup"))
