@@ -33,7 +33,7 @@ from ..field.limb import U64, FieldConsts
 from ..plan import planner
 from ..plan.config import NttConfig
 from ..plan.planner import PlanTables, row_twiddles
-from ..plan.wrapper import _resolve_engine
+from ..plan.wrapper import _resolve_engine, _resolve_modmul
 from .mesh import AXIS
 
 
@@ -75,11 +75,11 @@ class DistributedNTT:
         self.n0, self.n1 = n0, n1
         mod = config.mod
         self.fc = FieldConsts.from_modulus(
-            mod, lazy=config.lazy, modmul=config.modmul
+            mod, lazy=config.lazy, modmul=_resolve_modmul(config)
         )
         # Local sub-transforms run full plan trees (fused Pallas leaves on
         # TPU), exactly like the single-chip wrapper's sub-NTTs.
-        engine = _resolve_engine(config.engine)
+        engine = _resolve_engine(config.engine, config.n)
         self._col_plan = planner.build_plan(n0, engine)
         self._row_plan = planner.build_plan(n1, engine)
         self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)

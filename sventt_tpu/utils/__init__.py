@@ -1,0 +1,6 @@
+"""Utilities: instance caching, profiling hooks."""
+
+from .cache import cached_ntt, clear_ntt_cache
+from .profiling import trace
+
+__all__ = ["cached_ntt", "clear_ntt_cache", "trace"]

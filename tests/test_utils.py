@@ -1,0 +1,47 @@
+"""Instance cache and batch-shape coverage."""
+
+import numpy as np
+
+from sventt_tpu import TEST_GENERATOR, TEST_MODULUS
+from sventt_tpu.field.golden import GoldenNTT
+from sventt_tpu.field.limb import u64_from_numpy, u64_to_numpy
+from sventt_tpu.plan import NTT, NttConfig
+from sventt_tpu.utils import cached_ntt, clear_ntt_cache
+
+
+def test_cached_ntt_reuses_instance():
+    clear_ntt_cache()
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 64)
+    a = cached_ntt(cfg)
+    b = cached_ntt(cfg)
+    assert a is b
+    c = cached_ntt(cfg.with_(n=128))
+    assert c is not a
+    clear_ntt_cache()
+
+
+def test_batched_transform_matches_per_column(rng):
+    """(n, batch) inputs transform every column independently."""
+    n, batch = 256, 5
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, n)
+    ntt = NTT(cfg)
+    x = rng.integers(0, TEST_MODULUS, (n, batch), dtype=np.uint64)
+    out = u64_to_numpy(ntt.fc.normalize(ntt.compute_forward(u64_from_numpy(x))))
+    golden = GoldenNTT(n, cfg.mod)
+    for c in range(batch):
+        assert [int(v) for v in out[:, c]] == golden.forward(
+            [int(v) for v in x[:, c]]
+        )
+    back = ntt.compute_inverse(u64_from_numpy(out))
+    np.testing.assert_array_equal(u64_to_numpy(ntt.fc.normalize(back)), x)
+
+
+def test_batched_sixstep(rng):
+    n, batch = 1 << 12, 3
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, n, strategy="six_step")
+    ntt = NTT(cfg)
+    x = rng.integers(0, TEST_MODULUS, (n, batch), dtype=np.uint64)
+    out = u64_to_numpy(ntt.fc.normalize(ntt.compute_forward(u64_from_numpy(x))))
+    # column 0 vs flat single-batch path
+    flat = ntt.forward_numpy(x[:, 0])
+    np.testing.assert_array_equal(out[:, 0], flat)
