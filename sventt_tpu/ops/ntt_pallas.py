@@ -45,8 +45,10 @@ from .twiddle import forward_tables, inverse_tables
 #: Largest transform length the fused kernel runs as a single VMEM-resident
 #: call; longer transforms are decomposed by the planner (plan/planner.py),
 #: the way the reference switches from iterative to four/six-step kernels
-#: (reference README.md:7-8).
-MAX_FUSED = 512
+#: (reference README.md:7-8).  Capped at 256: the slice-based stage bodies
+#: unroll m/(2l) chunks per stage, and m=512's tail stages (480 chunks)
+#: blow up Mosaic compile time (observed hang at 2^26 planning).
+MAX_FUSED = 256
 
 #: Lane-tile width (batch columns per grid step).
 BLOCK_B = 256

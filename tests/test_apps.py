@@ -94,3 +94,14 @@ def test_kinnaes_host_and_device(m):
     Np, g, n = kinnaes_parameters(m, bits=61)
     assert kinnaes_magic_series_count_host(m, Np, g, n) == MAGIC_SERIES[m]
     assert kinnaes_magic_series_count(m, Np, g, n) == MAGIC_SERIES[m]
+
+
+@pytest.mark.parametrize("m", [6, 8])
+def test_three_way_cross_check(m):
+    """Exact DP vs NTT convolution vs Kinnaes closed form -- three
+    algorithmically independent counters must agree (the reference's
+    cross-check strategy, SURVEY.md section 5)."""
+    exact = magic_series_count_exact(m)
+    assert magic_series_count(m, N, G) == exact % N
+    Np, g, n = kinnaes_parameters(m, bits=61)
+    assert kinnaes_magic_series_count_host(m, Np, g, n) == exact % Np
