@@ -207,7 +207,8 @@ def _mont_precompute_device(w: U64, mod: Modulus) -> U64:
 
 
 def sixstep_row_twiddles_device(
-    mod: Modulus, n0: int, n1: int, *, inverse: bool = False
+    mod: Modulus, n0: int, n1: int, *, inverse: bool = False,
+    with_companion: bool = True,
 ) -> "MontPair":
     """Device-built inter-step twiddle matrix for large transforms.
 
@@ -250,6 +251,9 @@ def sixstep_row_twiddles_device(
         _, cols = jax.lax.scan(step, one, None, length=n1)
         # cols: (n1, n0) Montgomery twiddles; transpose to (n0, n1).
         w = U64(jnp.transpose(cols.hi), jnp.transpose(cols.lo))
-        return MontPair(w, _mont_precompute_device(w, mod))
+        # with_companion=False halves twiddle memory for huge n: the
+        # Montgomery companion is recomputed per multiply (mont_mul_full).
+        wp = _mont_precompute_device(w, mod) if with_companion else None
+        return MontPair(w, wp)
 
     return build(one, base)

@@ -130,6 +130,11 @@ class DistributedNTT:
     def compute_inverse(self, x: U64) -> U64:
         return self._inverse(x, self._inv_tw, self._inv_row, self._inv_col)
 
+    def _tw_mul(self, mat: U64, w: U64, wp) -> U64:
+        if wp is None:
+            return self.fc.mont_mul_full(mat, w)
+        return self.fc.mont_mul(mat, w, wp)
+
     # -- local (per-shard) schedules ---------------------------------------
 
     def _forward_local(self, x: U64, tw, col_tables, row_tables) -> U64:
@@ -141,7 +146,7 @@ class DistributedNTT:
         mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
         # column NTTs: full leading axis n0 is local
         mat = planner.run_forward(mat, self._col_plan, col_tables)
-        mat = self.fc.mont_mul(mat, w, wp)
+        mat = self._tw_mul(mat, w, wp)
         # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
         mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
         mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
@@ -161,7 +166,7 @@ class DistributedNTT:
         mat = _transpose01(mat)  # (n0/D, n1)
         # undo [comm 2]
         mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
-        mat = self.fc.mont_mul(mat, w, wp)  # undo twiddles
+        mat = self._tw_mul(mat, w, wp)  # undo twiddles
         mat = planner.run_inverse(mat, self._col_plan, col_tables)
         # undo [comm 1]: column shards -> row shards
         mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)

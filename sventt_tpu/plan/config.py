@@ -48,7 +48,6 @@ class NttConfig:
     #: when the lazy range discipline allows it -- one fewer u64 multiply
     #: per butterfly).
     modmul: str = "auto"
-    batch: int = 1  # number of independent transforms per call
 
     # largest transform the iterative strategy handles before auto switches
     # to six-step (working set 16*n bytes vs ~16 MB VMEM, leave headroom)

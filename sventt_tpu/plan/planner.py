@@ -43,10 +43,18 @@ from ..ops.twiddle import (
 #: device (lax.scan Montgomery recurrence) instead of host Python ints.
 DEVICE_TWIDDLE_THRESHOLD = 1 << 16
 
+#: Above this element count the Montgomery companion array is dropped (the
+#: multiply recomputes it on the fly), halving twiddle memory -- needed to
+#: fit 2^28 in one chip's HBM (data 8 GB + paired tables 8 GB would not).
+W_ONLY_THRESHOLD = 1 << 26
+
 
 def row_twiddles(mod: Modulus, n0: int, n1: int, *, inverse: bool) -> MontPair:
     if n0 * n1 > DEVICE_TWIDDLE_THRESHOLD:
-        return sixstep_row_twiddles_device(mod, n0, n1, inverse=inverse)
+        return sixstep_row_twiddles_device(
+            mod, n0, n1, inverse=inverse,
+            with_companion=n0 * n1 < W_ONLY_THRESHOLD,
+        )
     if inverse:
         return sixstep_row_twiddles_inverse(mod, n0, n1)
     return sixstep_row_twiddles(mod, n0, n1)
@@ -158,9 +166,15 @@ def _transpose01(x: U64) -> U64:
 
 
 def _mont_mul_bcast(fc: FieldConsts, x: U64, tw: MontPair, nb: int) -> U64:
-    """Multiply (m0, m1, batch...) data by an (m0, m1) twiddle matrix."""
+    """Multiply (m0, m1, batch...) data by an (m0, m1) twiddle matrix.
+
+    Twiddles are Montgomery-form; when the companion array was dropped
+    (W_ONLY_THRESHOLD) the multiply recomputes it on the fly.
+    """
     shape = tw.w.lo.shape + (1,) * nb
     w = U64(tw.w.hi.reshape(shape), tw.w.lo.reshape(shape))
+    if tw.wp is None:
+        return fc.mont_mul_full(x, w)
     wp = U64(tw.wp.hi.reshape(shape), tw.wp.lo.reshape(shape))
     return fc.mont_mul(x, w, wp)
 

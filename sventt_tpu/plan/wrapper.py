@@ -73,7 +73,11 @@ class NTT:
         config: NttConfig,
         enable_forward: bool = True,
         enable_inverse: bool = True,
+        donate_input: bool = False,
     ):
+        """``donate_input=True`` donates the input buffers to XLA (the
+        caller's array is invalidated) -- halves peak HBM for huge
+        transforms (2^28 single-chip needs it)."""
         self.config = config
         self.mod = config.mod
         self.fc = FieldConsts.from_modulus(
@@ -83,18 +87,23 @@ class NTT:
         self.plan = self._build_plan()
         self._fwd = self._inv = None
         plan = self.plan
+        donate = (0,) if donate_input else ()
         if enable_forward:
             self._fwd_tables = planner.PlanTables(
                 plan, self.mod, self.fc, inverse=False
             )
             # Tables are jit ARGUMENTS (PlanTables is a pytree): closing over
             # them would bake hundreds of MB of twiddles into the HLO.
-            self._fwd = jax.jit(lambda x, t: planner.run_forward(x, plan, t))
+            self._fwd = jax.jit(
+                lambda x, t: planner.run_forward(x, plan, t), donate_argnums=donate
+            )
         if enable_inverse:
             self._inv_tables = planner.PlanTables(
                 plan, self.mod, self.fc, inverse=True
             )
-            self._inv = jax.jit(lambda x, t: planner.run_inverse(x, plan, t))
+            self._inv = jax.jit(
+                lambda x, t: planner.run_inverse(x, plan, t), donate_argnums=donate
+            )
 
     def _build_plan(self):
         cfg = self.config
