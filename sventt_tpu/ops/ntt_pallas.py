@@ -187,6 +187,179 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ---------------------------------------------------------------------------
+# Lane-axis variant: transform along the LAST axis (lanes), batch on rows.
+#
+# Consumes the six-step "transposed" layout directly: a Split node whose row
+# child is a lane-axis leaf needs NO transposes at all (the two XLA layout
+# materializations per level are the reference's six-step transposes;
+# eliminating them is the TPU analogue of the reference fusing transposition
+# into its blocked layers, layer/sve/blocked-generic.hpp).  Butterfly
+# exchange is a pair of lane rolls + select; stage twiddles are lane-vector
+# tables broadcast over the batch rows.
+# ---------------------------------------------------------------------------
+
+#: Batch rows per lane-kernel block.
+LANE_BLOCK_ROWS = 64
+
+
+class LaneDirection:
+    """Prepared tables for a lane-axis fused transform (one direction).
+
+    ``tw``: (num_stages, 4, LANE_BLOCK_ROWS, m) uint32 — per stage the four
+    lane-vectors (w_hi, w_lo, wp_hi, wp_lo) with w_vec[i] = w_stage[i mod l]
+    replicated across the block rows.  ``scale``: same four rows for the
+    final double-twiddle inverse stage (s*w), plus the scalar pair (s, sp)
+    baked as Python ints; None for forward.
+    """
+
+    def __init__(self, m, inverse, stage_ls, tw, scale_scalar):
+        self.m = m
+        self.inverse = inverse
+        self.stage_ls = stage_ls
+        self.tw = tw
+        self.scale_scalar = scale_scalar  # (s, sp) ints or None
+
+
+jax.tree_util.register_pytree_node(
+    LaneDirection,
+    lambda t: ((t.tw,), (t.m, t.inverse, t.stage_ls, t.scale_scalar)),
+    lambda aux, ch: LaneDirection(aux[0], aux[1], aux[2], ch[0], aux[3]),
+)
+
+
+def _lane_vec(pair, m: int, l: int) -> np.ndarray:
+    """(4, LANE_BLOCK_ROWS, m) lane-vector table for one stage."""
+    idx = np.arange(m) % l
+    out = np.zeros((4, LANE_BLOCK_ROWS, m), dtype=np.uint32)
+    for c, arr in enumerate((pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo)):
+        out[c, :, :] = np.asarray(arr)[idx][None, :]
+    return out
+
+
+def make_lane_forward(mod: Modulus, m: int, modmul: str = "montgomery") -> LaneDirection:
+    tabs = forward_tables(mod, m, modmul)
+    ls, tw = [], []
+    for s, pair in enumerate(tabs.stages):
+        l = m >> (s + 1)
+        ls.append(l)
+        tw.append(_lane_vec(pair, m, l))
+    return LaneDirection(m, False, tuple(ls), jnp.asarray(np.stack(tw)), None)
+
+
+def make_lane_inverse(
+    mod: Modulus, m: int, scale_extra: int = 1, modmul: str = "montgomery"
+) -> LaneDirection:
+    tabs = inverse_tables(mod, m, scale_extra, modmul)
+    ls, tw = [], []
+    for s, pair in enumerate(tabs.stages):
+        l = 1 << s
+        ls.append(l)
+        tw.append(_lane_vec(pair, m, l))
+    s_hi = int(np.asarray(tabs.scale.w.hi)[0])
+    s_lo = int(np.asarray(tabs.scale.w.lo)[0])
+    sp_hi = int(np.asarray(tabs.scale.wp.hi)[0])
+    sp_lo = int(np.asarray(tabs.scale.wp.lo)[0])
+    scale = ((s_hi << 32) | s_lo, (sp_hi << 32) | sp_lo)
+    return LaneDirection(m, True, tuple(ls), jnp.asarray(np.stack(tw)), scale)
+
+
+def _lane_kernel(fc: FieldConsts, m: int, stage_ls, inverse: bool, scale_scalar):
+    from ..field.limb import u64_const_like, u64_select
+
+    n = len(stage_ls)
+
+    def kernel(xh_ref, xl_ref, tw_ref, oh_ref, ol_ref):
+        v = U64(xh_ref[:], xl_ref[:])  # (LANE_BLOCK_ROWS, m)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (LANE_BLOCK_ROWS, m), 1)
+        for s, l in enumerate(stage_ls):
+            bit = (lane & jnp.uint32(l)) != 0
+
+            def partner(a, bit=bit, l=l):
+                return jnp.where(
+                    bit,
+                    pltpu.roll(a, shift=l, axis=1),
+                    pltpu.roll(a, shift=m - l, axis=1),
+                )
+
+            w = U64(tw_ref[s, 0], tw_ref[s, 1])
+            wp = U64(tw_ref[s, 2], tw_ref[s, 3])
+            if not inverse:
+                p = U64(partner(v.hi), partner(v.lo))
+                ssum = fc.add(v, p)
+                d = fc.sub(p, v)  # bit-set lanes: x[k] - x[k+l]
+                dm = fc.twiddle_mul(d, w, wp)
+                v = u64_select(bit, dm, ssum)
+            elif scale_scalar is not None and s == n - 1:
+                sc = u64_const_like(scale_scalar[0], v)
+                scp = u64_const_like(scale_scalar[1], v)
+                a = fc.twiddle_mul(v, sc, scp)  # s * x everywhere
+                b = fc.twiddle_mul(v, w, wp)  # (s*w_j) * x everywhere
+                pa = U64(partner(a.hi), partner(a.lo))
+                pb = U64(partner(b.hi), partner(b.lo))
+                v = u64_select(bit, fc.sub(pa, b), fc.add(a, pb))
+            else:
+                t = fc.twiddle_mul(v, w, wp)  # w_j * x everywhere
+                px = U64(partner(v.hi), partner(v.lo))
+                pt = U64(partner(t.hi), partner(t.lo))
+                v = u64_select(bit, fc.sub(px, t), fc.add(v, pt))
+        oh_ref[:], ol_ref[:] = v.hi, v.lo
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, scale_scalar):
+    kernel = _lane_kernel(fc, m, stage_ls, inverse, scale_scalar)
+    n_stages = len(stage_ls)
+
+    @jax.jit
+    def call(xh, xl, tw):
+        b = xh.shape[0]
+        x_spec = pl.BlockSpec(
+            (LANE_BLOCK_ROWS, m), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        tw_spec = pl.BlockSpec(
+            (n_stages, 4, LANE_BLOCK_ROWS, m),
+            lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((b, m), jnp.uint32)] * 2,
+            grid=(b // LANE_BLOCK_ROWS,),
+            in_specs=[x_spec, x_spec, tw_spec],
+            out_specs=[x_spec] * 2,
+            interpret=_use_interpret(),
+        )(xh, xl, tw)
+
+    return call
+
+
+def fused_ntt_lane(x: U64, tables: LaneDirection, fc: FieldConsts) -> U64:
+    """Lane-axis fused transform: length-m NTT along the LAST axis.
+
+    ``x``: (batch..., m).  Bit-compatible (mod N) with the leading-axis
+    engines applied to the transposed data.
+    """
+    m = tables.m
+    if x.lo.shape[-1] != m:
+        raise ValueError(f"trailing axis {x.lo.shape[-1]} != transform length {m}")
+    batch_shape = x.lo.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    bp = _round_up(b, LANE_BLOCK_ROWS)
+    xh = x.hi.reshape(b, m)
+    xl = x.lo.reshape(b, m)
+    if bp != b:
+        xh = jnp.pad(xh, ((0, bp - b), (0, 0)))
+        xl = jnp.pad(xl, ((0, bp - b), (0, 0)))
+    call = _lane_call(fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar)
+    oh, ol = call(xh, xl, tables.tw)
+    if bp != b:
+        oh, ol = oh[:b], ol[:b]
+    return U64(oh.reshape(batch_shape + (m,)), ol.reshape(batch_shape + (m,)))
+
+
 @functools.lru_cache(maxsize=None)
 def _group_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool):
     """Build the jitted pallas_call for one stage group (cached per config)."""

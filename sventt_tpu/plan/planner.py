@@ -96,11 +96,14 @@ def build_plan(n: int, engine: str, max_fused: int | None = None) -> "Leaf | Spl
     log2n = n.bit_length() - 1
     log2f = max_fused.bit_length() - 1
     k = -(-log2n // log2f)  # number of near-equal factors
-    log2n0 = log2n // k  # smallest factor goes on the column side
-    n0 = 1 << log2n0
-    n1 = n // n0
+    # Left-deep: the ROW side is always a leaf, the column side recurses.
+    # A pallas row leaf then runs lane-axis (transform on lanes) directly on
+    # the (m0, m1) matrix -- no six-step transposes at that level.
+    log2n1 = -(-log2n // k)
+    n1 = 1 << log2n1
+    n0 = n // n1
     return Split(
-        n, n0, n1, build_plan(n0, engine, max_fused), build_plan(n1, engine, max_fused)
+        n, n0, n1, build_plan(n0, engine, max_fused), Leaf(n1, engine)
     )
 
 
@@ -118,6 +121,7 @@ class PlanTables:
         self.fc = fc
         self.inverse = inverse
         self.leaf: dict[int, object] = {}
+        self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
         self._prepare(plan)
 
@@ -125,7 +129,7 @@ class PlanTables:
     def _unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.plan, obj.mod, obj.fc, obj.inverse = aux
-        obj.leaf, obj.split_tw = children
+        obj.leaf, obj.lane, obj.split_tw = children
         return obj
 
     def _prepare(self, node):
@@ -149,15 +153,32 @@ class PlanTables:
                 self.split_tw[key] = row_twiddles(
                     self.mod, node.m0, node.m1, inverse=self.inverse
                 )
+            if _lane_row(node) and node.m1 not in self.lane:
+                mk = (
+                    ntt_pallas.make_lane_inverse
+                    if self.inverse
+                    else ntt_pallas.make_lane_forward
+                )
+                self.lane[node.m1] = mk(self.mod, node.m1, modmul=self.fc.modmul)
             self._prepare(node.col)
             self._prepare(node.row)
 
 
 jax.tree_util.register_pytree_node(
     PlanTables,
-    lambda t: ((t.leaf, t.split_tw), (t.plan, t.mod, t.fc, t.inverse)),
+    lambda t: ((t.leaf, t.lane, t.split_tw), (t.plan, t.mod, t.fc, t.inverse)),
     PlanTables._unflatten,
 )
+
+
+def _lane_row(node) -> bool:
+    """Split nodes whose row child is a pallas leaf run it lane-axis when
+    the batch is empty (no transposes at that level)."""
+    return (
+        isinstance(node, Split)
+        and isinstance(node.row, Leaf)
+        and node.row.engine == "pallas"
+    )
 
 
 def _transpose01(x: U64) -> U64:
@@ -192,9 +213,13 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     mat = run_forward(mat, node.col, tables)  # column NTTs, leading axis m0
     mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
-    mat = _transpose01(mat)  # (m1, m0, batch)
-    mat = run_forward(mat, node.row, tables)  # row NTTs, leading axis m1
-    mat = _transpose01(mat)  # (m0, m1, batch)
+    if not batch and _lane_row(node) and node.m1 in tables.lane:
+        # lane-axis row leaf: transform along axis 1 in place, no transposes
+        mat = ntt_pallas.fused_ntt_lane(mat, tables.lane[node.m1], fc)
+    else:
+        mat = _transpose01(mat)  # (m1, m0, batch)
+        mat = run_forward(mat, node.row, tables)  # row NTTs, leading axis m1
+        mat = _transpose01(mat)  # (m0, m1, batch)
     return U64(
         mat.hi.reshape((node.m,) + batch), mat.lo.reshape((node.m,) + batch)
     )
@@ -211,9 +236,12 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
     m0, m1 = node.m0, node.m1
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
-    mat = _transpose01(mat)
-    mat = run_inverse(mat, node.row, tables)  # undo row NTTs
-    mat = _transpose01(mat)
+    if not batch and _lane_row(node) and node.m1 in tables.lane:
+        mat = ntt_pallas.fused_ntt_lane(mat, tables.lane[node.m1], fc)
+    else:
+        mat = _transpose01(mat)
+        mat = run_inverse(mat, node.row, tables)  # undo row NTTs
+        mat = _transpose01(mat)
     mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     mat = run_inverse(mat, node.col, tables)  # undo column NTTs
     return U64(
