@@ -1,0 +1,114 @@
+import sys; sys.path.insert(0, ".")
+import time, numpy as np, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from sventt_tpu.field.modulus import Modulus, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR
+from sventt_tpu.field.limb import (U64, u64_from_numpy, u64_to_numpy,
+    u64_add, u64_sub, u64_select, u64_lt, u64_const_like, u64_mullo, u64_mulhi)
+from sventt_tpu.field.golden import GoldenNTT, bitreverse_permutation
+
+mod = Modulus(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR)
+N = mod.modulus
+R, B, NL, BT = 128, 1 << 15, 10, 128
+rng = np.random.default_rng(0)
+perm = bitreverse_permutation(R)
+omega = mod.get_root_forward(R)
+Rmont = (1 << 64) % N
+Mnp = np.zeros((R, R), dtype=object)
+for p in range(R):
+    base = pow(omega, perm[p], N)
+    v = 1
+    for j in range(R):
+        Mnp[p, j] = v * Rmont % N
+        v = v * base % N
+M_stack = jax.device_put(jnp.asarray(np.concatenate(
+    [((Mnp >> (7*k)) & 0x7F).astype(np.int8) for k in range(NL)], axis=0)))  # (NL*R, R)
+
+xu = rng.integers(0, N, (R, B), dtype=np.uint64)
+x = u64_from_numpy(xu)
+xh, xl = jax.device_put(x.hi), jax.device_put(x.lo)
+C128 = pow(2, 128, N)
+NPRIME = pow(N, -1, 1 << 64)
+
+def kernel(xh_ref, xl_ref, m_ref, oh_ref, ol_ref):
+    xhv, xlv = xh_ref[:], xl_ref[:]          # (R, BT) u32
+    mm = m_ref[:]                            # (NL*R, R) i8
+    planes = [None] * (2 * NL - 1)
+    for i in range(NL):
+        lo_bit = 7 * i
+        if lo_bit + 7 <= 32:
+            v = (xlv >> np.uint32(lo_bit)) & np.uint32(0x7F)
+        elif lo_bit >= 32:
+            v = (xhv >> np.uint32(lo_bit - 32)) & np.uint32(0x7F)
+        else:
+            v = ((xlv >> np.uint32(lo_bit)) | (xhv << np.uint32(32 - lo_bit))) & np.uint32(0x7F)
+        Xi = v.astype(jnp.int8)              # (R, BT)
+        Ci = jax.lax.dot_general(mm, Xi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)  # (NL*R, BT)
+        Cir = Ci.reshape(NL, R, BT)
+        for k in range(NL):
+            t = i + k
+            blk = Cir[k]
+            planes[t] = blk if planes[t] is None else planes[t] + blk
+    z = jnp.zeros((R, BT), jnp.uint32)
+    A = [U64(z, z) for _ in range(6)]
+    for t in range(2 * NL - 1):
+        P = planes[t].astype(jnp.uint32)
+        pos = 7 * t
+        w, sh = pos // 32, pos % 32
+        lo = (P << np.uint32(sh)) if sh else P
+        A[w] = u64_add(A[w], U64(z, lo))
+        if sh:
+            A[w + 1] = u64_add(A[w + 1], U64(z, P >> np.uint32(32 - sh)))
+    L = []
+    carry = U64(z, z)
+    for w in range(6):
+        s = u64_add(A[w], carry)
+        L.append(s.lo)
+        carry = U64(z, s.hi)
+    T_lo = U64(L[1], L[0]); T_hi = U64(L[3], L[2]); top = U64(L[5], L[4])
+    ext = u64_mullo(top, u64_const_like(C128, top))
+    ext_hi = u64_mulhi(top, u64_const_like(C128, top))
+    T_lo2 = u64_add(T_lo, ext)
+    c0 = u64_lt(T_lo2, ext).astype(jnp.uint32)
+    T_hi = u64_add(u64_add(T_hi, ext_hi), U64(z, c0))
+    nn = u64_const_like(N, T_hi)
+    for _ in range(2):
+        cand = u64_sub(T_hi, nn)
+        T_hi = u64_select(u64_lt(T_hi, nn), T_hi, cand)
+    q = u64_mullo(T_lo2, u64_const_like(NPRIME, T_lo2))
+    qn1 = u64_mulhi(q, nn)
+    d = u64_sub(T_hi, qn1)
+    res = u64_select(u64_lt(T_hi, qn1), u64_add(d, nn), d)
+    cand = u64_sub(res, nn)
+    res = u64_select(u64_lt(res, nn), res, cand)
+    oh_ref[:], ol_ref[:] = res.hi, res.lo
+
+x_spec = pl.BlockSpec((R, BT), lambda b: (0, b), memory_space=pltpu.VMEM)
+m_spec = pl.BlockSpec((NL * R, R), lambda b: (0, 0), memory_space=pltpu.VMEM)
+@jax.jit
+def mxu_ntt(xh, xl, M_stack):
+    oh, ol = pl.pallas_call(kernel,
+        out_shape=[jax.ShapeDtypeStruct((R, B), jnp.uint32)]*2,
+        grid=(B // BT,),
+        in_specs=[x_spec, x_spec, m_spec],
+        out_specs=[x_spec]*2)(xh, xl, M_stack)
+    return U64(oh, ol)
+
+t0 = time.perf_counter()
+out = jax.block_until_ready(mxu_ntt(xh, xl, M_stack))
+print(f"compile {time.perf_counter()-t0:.1f}s", flush=True)
+outn = u64_to_numpy(out)
+golden = GoldenNTT(R, mod)
+for col in (0, 7777):
+    got = [int(v) for v in outn[:, col]]
+    want = golden.forward([int(v) for v in xu[:, col]])
+    print(f"golden col {col}:", got == want, flush=True)
+s = (xh, xl); t0 = time.perf_counter()
+for _ in range(20):
+    o = mxu_ntt(s[0], s[1], M_stack); s = (o.hi, o.lo)
+jax.block_until_ready(o)
+dt = (time.perf_counter()-t0)/20*1e3
+pts = R * B
+print(f"mxu10 fused R={R} B={B}: {dt:.3f} ms -> {pts/dt*1e3/1e9:.2f} Gpts/s "
+      f"({pts*7/2/dt*1e3/1e9:.1f} Gbfly-equiv/s)", flush=True)
