@@ -56,22 +56,37 @@ def _transpose01(x: U64) -> U64:
 
 
 class DistributedNTT:
-    """Forward/inverse six-step NTT sharded over a 1-D device mesh.
+    """Forward/inverse six-step NTT sharded over a device mesh.
 
     Input/output: flat U64 of global shape ``(n,)`` sharded ``P(axis)``
     (contiguous blocks).  Semantics match the single-chip ``plan.NTT``:
     forward emits bit-reversed order, inverse consumes it; residues mod N.
     Requires ``n0 % D == 0`` and ``n1 % D == 0`` for the all-to-all tiling.
+
+    ``axis`` may be a tuple of mesh axis names for hierarchical meshes
+    (e.g. ``("dcn", "ici")`` on a multi-slice pod): the shard dimension is
+    the combined axis and the collectives run over both tiers, with XLA
+    routing the intra-slice fraction over ICI.  Order the faster tier LAST
+    so neighboring shards live on the same slice.
     """
 
-    def __init__(self, config: NttConfig, mesh: jax.sharding.Mesh, axis: str = AXIS):
+    def __init__(
+        self,
+        config: NttConfig,
+        mesh: jax.sharding.Mesh,
+        axis: str | tuple[str, ...] = AXIS,
+    ):
         n0, n1 = config.split
-        D = mesh.shape[axis]
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        D = 1
+        for a in axes:
+            D *= mesh.shape[a]
         if n0 % D or n1 % D:
             raise ValueError(f"n0={n0}, n1={n1} must be divisible by mesh size {D}")
         self.config = config
         self.mesh = mesh
-        self.axis = axis
+        self.axes = axes
+        self.D = D
         self.n0, self.n1 = n0, n1
         mod = config.mod
         self.fc = FieldConsts.from_modulus(
@@ -87,7 +102,7 @@ class DistributedNTT:
         self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
         self._inv_row = PlanTables(self._row_plan, mod, self.fc, inverse=True)
         # Inter-step twiddles live column-sharded on the device mesh.
-        tw_sharding = NamedSharding(mesh, P(None, axis))
+        tw_sharding = NamedSharding(mesh, P(None, axes))
         self._fwd_tw = jax.device_put(
             row_twiddles(mod, n0, n1, inverse=False), tw_sharding
         )
@@ -95,8 +110,8 @@ class DistributedNTT:
             row_twiddles(mod, n0, n1, inverse=True), tw_sharding
         )
 
-        flat = P(axis)
-        tw = P(None, axis)
+        flat = P(axes)
+        tw = P(None, axes)
         rep = P()  # sub-transform tables are replicated on every chip
         self._forward = jax.jit(
             jax.shard_map(
@@ -122,7 +137,7 @@ class DistributedNTT:
 
     def sharding(self) -> NamedSharding:
         """The sharding transforms expect for the flat coefficient vector."""
-        return NamedSharding(self.mesh, P(self.axis))
+        return NamedSharding(self.mesh, P(self.axes))
 
     def compute_forward(self, x: U64) -> U64:
         return self._forward(x, self._fwd_tw, self._fwd_col, self._fwd_row)
@@ -139,16 +154,16 @@ class DistributedNTT:
 
     def _forward_local(self, x: U64, tw, col_tables, row_tables) -> U64:
         n0, n1 = self.n0, self.n1
-        D = self.mesh.shape[self.axis]
+        D = self.D
         w, wp = tw  # local (n0, n1/D) each
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         # [comm 1] row shards -> column shards: (n0/D, n1) -> (n0, n1/D)
-        mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
+        mat = _all_to_all(mat, self.axes, split_axis=1, concat_axis=0)
         # column NTTs: full leading axis n0 is local
         mat = planner.run_forward(mat, self._col_plan, col_tables)
         mat = self._tw_mul(mat, w, wp)
         # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
-        mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
+        mat = _all_to_all(mat, self.axes, split_axis=0, concat_axis=1)
         mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
         # row NTTs: full leading axis n1 is local
         mat = planner.run_forward(mat, self._row_plan, row_tables)
@@ -158,16 +173,16 @@ class DistributedNTT:
 
     def _inverse_local(self, x: U64, tw, row_tables, col_tables) -> U64:
         n0, n1 = self.n0, self.n1
-        D = self.mesh.shape[self.axis]
+        D = self.D
         w, wp = tw
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         mat = _transpose01(mat)  # (n1, n0/D)
         mat = planner.run_inverse(mat, self._row_plan, row_tables)
         mat = _transpose01(mat)  # (n0/D, n1)
         # undo [comm 2]
-        mat = _all_to_all(mat, self.axis, split_axis=1, concat_axis=0)
+        mat = _all_to_all(mat, self.axes, split_axis=1, concat_axis=0)
         mat = self._tw_mul(mat, w, wp)  # undo twiddles
         mat = planner.run_inverse(mat, self._col_plan, col_tables)
         # undo [comm 1]: column shards -> row shards
-        mat = _all_to_all(mat, self.axis, split_axis=0, concat_axis=1)
+        mat = _all_to_all(mat, self.axes, split_axis=0, concat_axis=1)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)

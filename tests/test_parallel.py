@@ -53,3 +53,19 @@ def test_output_stays_sharded(mesh, rng):
     xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
     out = dntt.compute_forward(xd)
     assert out.lo.sharding.is_equivalent_to(dntt.sharding(), out.lo.ndim)
+
+
+def test_multislice_mesh_axes(rng):
+    """Hierarchical (dcn, ici) mesh: combined-axis all-to-all matches the
+    single-chip wrapper (the multi-slice tier of SURVEY.md section 2.5)."""
+    mesh2 = jax.make_mesh((2, 4), ("dcn", "ici"))
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step")
+    dntt = DistributedNTT(cfg, mesh2, axis=("dcn", "ici"))
+    sntt = NTT(cfg)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+    fwd_d = u64_to_numpy(dntt.fc.normalize(dntt.compute_forward(xd)))
+    fwd_s = u64_to_numpy(sntt.fc.normalize(sntt.compute_forward(u64_from_numpy(x))))
+    np.testing.assert_array_equal(fwd_d, fwd_s)
+    back = dntt.compute_inverse(dntt.compute_forward(xd))
+    np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
