@@ -264,13 +264,31 @@ def make_lane_inverse(
     return LaneDirection(m, True, tuple(ls), jnp.asarray(np.stack(tw)), scale)
 
 
-def _lane_kernel(fc: FieldConsts, m: int, stage_ls, inverse: bool, scale_scalar):
+def _lane_kernel(
+    fc: FieldConsts, m: int, stage_ls, inverse: bool, scale_scalar, pre_tw: int
+):
+    """pre_tw: 0 = no fused inter-step twiddle; 2 = (w_hi, w_lo) operands
+    with on-the-fly companions; 4 = (w_hi, w_lo, wp_hi, wp_lo) operands.
+    Applied BEFORE the stages on the forward (the six-step twiddle pass
+    between column and row transforms, fused as a kernel prologue) and
+    AFTER them on the inverse (mirror epilogue)."""
     from ..field.limb import u64_const_like, u64_select
 
     n = len(stage_ls)
 
-    def kernel(xh_ref, xl_ref, tw_ref, oh_ref, ol_ref):
+    def kernel(xh_ref, xl_ref, *refs):
+        tw_ref = refs[pre_tw]
+        oh_ref, ol_ref = refs[pre_tw + 1], refs[pre_tw + 2]
+
+        def apply_pre(v):
+            w = U64(refs[0][:], refs[1][:])
+            if pre_tw == 4:
+                return fc.mont_mul(v, w, U64(refs[2][:], refs[3][:]))
+            return fc.mont_mul_full(v, w)
+
         v = U64(xh_ref[:], xl_ref[:])  # (LANE_BLOCK_ROWS, m)
+        if pre_tw and not inverse:
+            v = apply_pre(v)
         lane = jax.lax.broadcasted_iota(jnp.uint32, (LANE_BLOCK_ROWS, m), 1)
         for s, l in enumerate(stage_ls):
             bit = (lane & jnp.uint32(l)) != 0
@@ -303,18 +321,22 @@ def _lane_kernel(fc: FieldConsts, m: int, stage_ls, inverse: bool, scale_scalar)
                 px = U64(partner(v.hi), partner(v.lo))
                 pt = U64(partner(t.hi), partner(t.lo))
                 v = u64_select(bit, fc.sub(px, t), fc.add(v, pt))
+        if pre_tw and inverse:
+            v = apply_pre(v)
         oh_ref[:], ol_ref[:] = v.hi, v.lo
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _lane_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, scale_scalar):
-    kernel = _lane_kernel(fc, m, stage_ls, inverse, scale_scalar)
+def _lane_call(
+    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, scale_scalar, pre_tw: int
+):
+    kernel = _lane_kernel(fc, m, stage_ls, inverse, scale_scalar, pre_tw)
     n_stages = len(stage_ls)
 
     @jax.jit
-    def call(xh, xl, tw):
+    def call(xh, xl, *rest):
         b = xh.shape[0]
         x_spec = pl.BlockSpec(
             (LANE_BLOCK_ROWS, m), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -328,19 +350,24 @@ def _lane_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, scale_sc
             kernel,
             out_shape=[jax.ShapeDtypeStruct((b, m), jnp.uint32)] * 2,
             grid=(b // LANE_BLOCK_ROWS,),
-            in_specs=[x_spec, x_spec, tw_spec],
+            in_specs=[x_spec, x_spec] + [x_spec] * pre_tw + [tw_spec],
             out_specs=[x_spec] * 2,
             interpret=_use_interpret(),
-        )(xh, xl, tw)
+        )(xh, xl, *rest)
 
     return call
 
 
-def fused_ntt_lane(x: U64, tables: LaneDirection, fc: FieldConsts) -> U64:
+def fused_ntt_lane(
+    x: U64, tables: LaneDirection, fc: FieldConsts, pre_tw=None
+) -> U64:
     """Lane-axis fused transform: length-m NTT along the LAST axis.
 
     ``x``: (batch..., m).  Bit-compatible (mod N) with the leading-axis
-    engines applied to the transposed data.
+    engines applied to the transposed data.  ``pre_tw``: optional MontPair
+    of the six-step inter-step twiddle matrix (batch..., m) fused into the
+    kernel (prologue on forward, epilogue on inverse); companion may be
+    None (recomputed on the fly).
     """
     m = tables.m
     if x.lo.shape[-1] != m:
@@ -348,13 +375,23 @@ def fused_ntt_lane(x: U64, tables: LaneDirection, fc: FieldConsts) -> U64:
     batch_shape = x.lo.shape[:-1]
     b = int(np.prod(batch_shape)) if batch_shape else 1
     bp = _round_up(b, LANE_BLOCK_ROWS)
-    xh = x.hi.reshape(b, m)
-    xl = x.lo.reshape(b, m)
-    if bp != b:
-        xh = jnp.pad(xh, ((0, bp - b), (0, 0)))
-        xl = jnp.pad(xl, ((0, bp - b), (0, 0)))
-    call = _lane_call(fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar)
-    oh, ol = call(xh, xl, tables.tw)
+
+    def flat_pad(a):
+        a = a.reshape(b, m)
+        return jnp.pad(a, ((0, bp - b), (0, 0))) if bp != b else a
+
+    args = [flat_pad(x.hi), flat_pad(x.lo)]
+    n_tw = 0
+    if pre_tw is not None:
+        args += [flat_pad(pre_tw.w.hi), flat_pad(pre_tw.w.lo)]
+        n_tw = 2
+        if pre_tw.wp is not None:
+            args += [flat_pad(pre_tw.wp.hi), flat_pad(pre_tw.wp.lo)]
+            n_tw = 4
+    call = _lane_call(
+        fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar, n_tw
+    )
+    oh, ol = call(*args, tables.tw)
     if bp != b:
         oh, ol = oh[:b], ol[:b]
     return U64(oh.reshape(batch_shape + (m,)), ol.reshape(batch_shape + (m,)))

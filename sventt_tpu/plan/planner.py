@@ -212,11 +212,14 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     mat = run_forward(mat, node.col, tables)  # column NTTs, leading axis m0
-    mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     if not batch and _lane_row(node) and node.m1 in tables.lane:
-        # lane-axis row leaf: transform along axis 1 in place, no transposes
-        mat = ntt_pallas.fused_ntt_lane(mat, tables.lane[node.m1], fc)
+        # lane-axis row leaf: transform along axis 1 in place, no transposes,
+        # inter-step twiddles fused as the kernel prologue
+        mat = ntt_pallas.fused_ntt_lane(
+            mat, tables.lane[node.m1], fc, pre_tw=tables.split_tw[(m0, m1)]
+        )
     else:
+        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
         mat = _transpose01(mat)  # (m1, m0, batch)
         mat = run_forward(mat, node.row, tables)  # row NTTs, leading axis m1
         mat = _transpose01(mat)  # (m0, m1, batch)
@@ -237,12 +240,16 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     if not batch and _lane_row(node) and node.m1 in tables.lane:
-        mat = ntt_pallas.fused_ntt_lane(mat, tables.lane[node.m1], fc)
+        # undo row NTTs along axis 1; inverse inter-step twiddles fused as
+        # the kernel epilogue
+        mat = ntt_pallas.fused_ntt_lane(
+            mat, tables.lane[node.m1], fc, pre_tw=tables.split_tw[(m0, m1)]
+        )
     else:
         mat = _transpose01(mat)
         mat = run_inverse(mat, node.row, tables)  # undo row NTTs
         mat = _transpose01(mat)
-    mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     mat = run_inverse(mat, node.col, tables)  # undo column NTTs
     return U64(
         mat.hi.reshape((node.m,) + batch), mat.lo.reshape((node.m,) + batch)
