@@ -76,15 +76,22 @@ def main() -> None:
     jax.block_until_ready(out)
     print(f"bench: compile+first run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    outv = ntt.fc.normalize(out)
-    first = (int(np.asarray(outv.hi[0])) << 32) | int(np.asarray(outv.lo[0]))
-    # X[0] = sum of inputs mod N (DFT definition, independent of the library).
-    # Limb-wise u64 sums are exact: 2^24 values < 2^32 sum to < 2^56.
-    hi_sum = int(np.asarray(x.hi).astype(np.uint64).sum())
-    lo_sum = int(np.asarray(x.lo).astype(np.uint64).sum())
-    want0 = ((hi_sum << 32) + lo_sum) % cfg.modulus
-    assert first == want0, f"correctness check failed: {first} != {want0}"
-    print("bench: X[0] matches DFT definition", file=sys.stderr)
+    from sventt_tpu import native
+    from sventt_tpu.field.limb import u64_to_numpy
+
+    outv = u64_to_numpy(ntt.fc.normalize(out))
+    xv = u64_to_numpy(x)
+    if native.available():
+        # Full bit-exact check against the independent C++ oracle
+        # (O(m log m); a few seconds at 2^24).
+        want = native.golden_forward(xv, cfg.modulus, cfg.generator)
+        assert (outv == want).all(), "bit-exact check vs native oracle FAILED"
+        print("bench: bit-exact vs native golden oracle", file=sys.stderr)
+    else:
+        # X[0] = sum of inputs mod N (DFT definition).
+        want0 = int(xv.astype(object).sum() % cfg.modulus)
+        assert int(outv[0]) == want0, "correctness check failed"
+        print("bench: X[0] matches DFT definition", file=sys.stderr)
 
     # Chained dependent calls inside one block: single-call timings through
     # the axon tunnel carry a flat ~27 ms completion-poll latency.

@@ -2,10 +2,10 @@
 
 The analogue of the reference's combined test+benchmark binaries
 (reference tests/bench-ntt.cpp + tests/ntt-tests/*.hpp, SURVEY.md 2.2):
-every configuration is timed AND verified in the same run -- small sizes
-bit-exactly against the native golden oracle, large sizes by DFT-definition
-spot checks (X[0] = sum, X[1] = alternating sum) plus forward/inverse
-round trip.
+every configuration is timed AND verified in the same run -- bit-exactly
+against the native golden oracle at every size (O(m log m) C++), falling
+back to DFT-definition spot checks (X[0] = sum, X[1] = alternating sum)
+plus forward/inverse round trip only if no compiler is available.
 
 Emits one JSON line per config:
   {"config", "n", "engine", "modmul", "direction", "ms", "gbutterfly_s",
@@ -55,7 +55,9 @@ def verify(ntt: NTT, x: np.ndarray, fwd_dev: U64) -> bool:
     n = ntt.get_m()
     N = ntt.config.modulus
     fwd = u64_to_numpy(ntt.fc.normalize(fwd_dev))
-    if n <= (1 << 16) and native.available():
+    if native.available():
+        # Full bit-exact check at EVERY size: the native oracle is
+        # O(m log m) C++ (a few seconds at 2^24).
         want = native.golden_forward(x, N, ntt.config.generator)
         if not (fwd == want).all():
             return False

@@ -30,7 +30,9 @@ def shared_modulus(m: int, bits: int = 62, two_adicity: int = 15):
     n | N-1 -- valid for both the NTT pipeline and the Kinnaes sum."""
     r = m * m * (m - 1) // 2
     primes = _small_primes(max(m, 3))
-    n = r + 1 + (r % 2 == 0)
+    # Smallest odd n > r (add 1 only when r + 1 is even), then step by 2 --
+    # same parity logic as kinnaes_parameters().
+    n = r + 1 + (r % 2 == 1)
     while not all(n % int(p) for p in primes):
         n += 2
     step = n << two_adicity

@@ -103,19 +103,27 @@ def kinnaes_magic_series_count_host(
 # -- device implementation ----------------------------------------------------
 
 
-def _pow_by_lane_index(fc: FieldConsts, base: int, j: np.ndarray, N: int) -> U64:
-    """w = base^{j} per lane, by binary powering with per-lane selects."""
+def _pow_by_lane_index(
+    fc: FieldConsts, mod: Modulus, base: int, j: np.ndarray
+) -> U64:
+    """base^{j} per lane in **Montgomery form**, by binary powering.
+
+    All products run in the Montgomery domain so each step is a single
+    ``mont_mul_full`` -- the squared base is a host int converted with
+    ``to_montgomery`` per bit (the role of the reference's per-lane powering
+    in kinnaes.hpp:107-124, restructured so no R^2 correction multiplies are
+    needed on device).
+    """
     from ..field.limb import u64_select
 
-    bits = int(j.max()).bit_length()
-    result = u64_from_numpy(np.full(j.shape, 1, dtype=np.uint64))
+    N = mod.modulus
+    bits = int(j.max()).bit_length() if j.size else 0
+    # Montgomery form of 1 is R mod N.
+    result = u64_from_numpy(np.full(j.shape, mod.montgomery_r, dtype=np.uint64))
     sq = base % N
     jd = jnp.asarray(j.astype(np.uint32))
     for b in range(bits):
-        mult = fc.mont_mul_full(
-            fc.mont_mul_full(result, u64_from_int(sq)),
-            u64_from_int(Modulus(N).montgomery_r2),
-        )
+        mult = fc.mont_mul_full(result, u64_from_int(mod.to_montgomery(sq)))
         take = (jd >> np.uint32(b)) & np.uint32(1) != 0
         result = u64_select(take, mult, result)
         sq = sq * sq % N
@@ -162,7 +170,15 @@ def kinnaes_magic_series_count(
     generator: int | None = None,
     n: int | None = None,
 ) -> int:
-    """Device evaluation of the Kinnaes closed form; exact when M(m) < N."""
+    """Device evaluation of the Kinnaes closed form; exact when M(m) < N.
+
+    Every lane value is carried in the **Montgomery domain** end to end, so
+    each logical product is exactly one ``mont_mul_full`` (the accumulated R
+    factors cancel in the final num/den ratio) -- matching the reference's
+    one-multiply-per-product inner loop (kinnaes.hpp:107-146).
+    """
+    if m == 1:
+        return 1  # M(1) = 1; the j-lane layout below needs n > 1
     r = m * m * (m - 1) // 2
     if modulus is None:
         modulus, generator, n = kinnaes_parameters(m)
@@ -176,16 +192,15 @@ def kinnaes_magic_series_count(
     w = mod.get_root_forward(n)
 
     j = np.arange(1, n // 2 + 1, dtype=np.uint64)
-    r2 = u64_from_int(mod.montgomery_r2)
-
-    def mul(a, b):
-        return fc.mont_mul_full(fc.mont_mul_full(a, b), r2)
+    mul = fc.mont_mul_full  # Montgomery-domain product (aR * bR -> abR)
 
     @jax.jit
     def compute():
-        wj = _pow_by_lane_index(fc, w, j, N)  # w^j per lane
-        t_num0 = _pow_by_lane_index(fc, pow(w, m * m - m + 1, N), j, N)
-        one = u64_from_numpy(np.full(j.shape, 1, dtype=np.uint64))
+        wj = _pow_by_lane_index(fc, mod, w, j)  # w^j per lane, Mont form
+        t_num0 = _pow_by_lane_index(fc, mod, pow(w, m * m - m + 1, N), j)
+        one = u64_from_numpy(
+            np.full(j.shape, mod.montgomery_r, dtype=np.uint64)
+        )
 
         def body(_, carry):
             num, den, t_num, t_den = carry
@@ -198,7 +213,7 @@ def kinnaes_magic_series_count(
         num, den, _, _ = jax.lax.fori_loop(
             0, m, body, (one, one, t_num0, wj)
         )
-        den = mul(den, _pow_by_lane_index(fc, pow(w, r, N), j, N))
+        den = mul(den, _pow_by_lane_index(fc, mod, pow(w, r, N), j))
         return _reduce_fractions(fc, num, den, mul)
 
     s_num, s_den = compute()
@@ -206,6 +221,8 @@ def kinnaes_magic_series_count(
     def scalar(x: U64) -> int:
         return (int(np.asarray(x.hi)[0]) << 32) | int(np.asarray(x.lo)[0])
 
+    # Both sides carry the same power of R (each accumulated the same number
+    # of Montgomery products level-for-level), so the ratio is exact mod N.
     s_int = scalar(s_num) * pow(scalar(s_den), N - 2, N) % N
     comb = math.comb(m * m, m) % N
     return (2 * s_int + comb) * pow(n, N - 2, N) % N

@@ -75,6 +75,8 @@ class DistributedNTT:
         config: NttConfig,
         mesh: jax.sharding.Mesh,
         axis: str | tuple[str, ...] = AXIS,
+        enable_forward: bool = True,
+        enable_inverse: bool = True,
     ):
         n0, n1 = config.split
         axes = (axis,) if isinstance(axis, str) else tuple(axis)
@@ -97,38 +99,43 @@ class DistributedNTT:
         engine = _resolve_engine(config.engine, config.n)
         self._col_plan = planner.build_plan(n0, engine)
         self._row_plan = planner.build_plan(n1, engine)
-        self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)
-        self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
-        self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
-        self._inv_row = PlanTables(self._row_plan, mod, self.fc, inverse=True)
-        # Inter-step twiddles live column-sharded on the device mesh.
-        tw_sharding = NamedSharding(mesh, P(None, axes))
-        self._fwd_tw = jax.device_put(
-            row_twiddles(mod, n0, n1, inverse=False), tw_sharding
-        )
-        self._inv_tw = jax.device_put(
-            row_twiddles(mod, n0, n1, inverse=True), tw_sharding
-        )
-
+        # Tables are built per enabled direction only (reference
+        # wrapper.hpp's enable_forward/enable_inverse ctor flags): at 2^30
+        # scale each direction's tables are GBs.
+        self._forward = self._inverse = None
         flat = P(axes)
         tw = P(None, axes)
         rep = P()  # sub-transform tables are replicated on every chip
-        self._forward = jax.jit(
-            jax.shard_map(
-                self._forward_local,
-                mesh=mesh,
-                in_specs=(flat, tw, rep, rep),
-                out_specs=flat,
+        tw_sharding = NamedSharding(mesh, P(None, axes))
+        if enable_forward:
+            self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)
+            self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
+            # Inter-step twiddles live column-sharded on the device mesh.
+            self._fwd_tw = jax.device_put(
+                row_twiddles(mod, n0, n1, inverse=False), tw_sharding
             )
-        )
-        self._inverse = jax.jit(
-            jax.shard_map(
-                self._inverse_local,
-                mesh=mesh,
-                in_specs=(flat, tw, rep, rep),
-                out_specs=flat,
+            self._forward = jax.jit(
+                jax.shard_map(
+                    self._forward_local,
+                    mesh=mesh,
+                    in_specs=(flat, tw, rep, rep),
+                    out_specs=flat,
+                )
             )
-        )
+        if enable_inverse:
+            self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
+            self._inv_row = PlanTables(self._row_plan, mod, self.fc, inverse=True)
+            self._inv_tw = jax.device_put(
+                row_twiddles(mod, n0, n1, inverse=True), tw_sharding
+            )
+            self._inverse = jax.jit(
+                jax.shard_map(
+                    self._inverse_local,
+                    mesh=mesh,
+                    in_specs=(flat, tw, rep, rep),
+                    out_specs=flat,
+                )
+            )
 
     # -- public API ---------------------------------------------------------
 
@@ -140,9 +147,13 @@ class DistributedNTT:
         return NamedSharding(self.mesh, P(self.axes))
 
     def compute_forward(self, x: U64) -> U64:
+        if self._forward is None:
+            raise RuntimeError("forward transform was not enabled")
         return self._forward(x, self._fwd_tw, self._fwd_col, self._fwd_row)
 
     def compute_inverse(self, x: U64) -> U64:
+        if self._inverse is None:
+            raise RuntimeError("inverse transform was not enabled")
         return self._inverse(x, self._inv_tw, self._inv_row, self._inv_col)
 
     def _tw_mul(self, mat: U64, w: U64, wp) -> U64:

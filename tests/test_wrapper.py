@@ -69,9 +69,11 @@ def test_flagship_modulus_six_step(rng):
 
 
 def test_flagship_config_2e17_roundtrip(rng):
-    # BASELINE.md config 3: six-step 2^17 = 2^8 x 2^9 (README.md flagship);
-    # golden check is too slow at this size, so verify the roundtrip plus
-    # linearity spot checks instead.
+    # BASELINE.md config 3: six-step 2^17 = 2^8 x 2^9 (README.md flagship).
+    # Bit-exact against the native C++ oracle when a compiler is available
+    # (the usual case); DFT-definition spot checks otherwise.
+    from sventt_tpu import native
+
     cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 17)
     assert cfg.resolved_strategy == "six_step"
     assert cfg.split == (1 << 8, 1 << 9)
@@ -79,10 +81,14 @@ def test_flagship_config_2e17_roundtrip(rng):
     N = cfg.modulus
     x = rng.integers(0, N, size=cfg.n, dtype=np.uint64)
     fwd = ntt.forward_numpy(x)
-    # spot check against the DFT definition: position 0 = sum, 1 = alt sum
-    assert int(fwd[0]) == sum(int(v) for v in x) % N
-    alt = sum(int(v) if i % 2 == 0 else -int(v) for i, v in enumerate(x)) % N
-    assert int(fwd[1]) == alt
+    if native.available():
+        want = native.golden_forward(x, N, cfg.generator)
+        assert (fwd == want).all()
+    else:
+        # spot check against the DFT definition: position 0 = sum, 1 = alt sum
+        assert int(fwd[0]) == sum(int(v) for v in x) % N
+        alt = sum(int(v) if i % 2 == 0 else -int(v) for i, v in enumerate(x)) % N
+        assert int(fwd[1]) == alt
     back = ntt.inverse_numpy(fwd)
     assert (back == x).all()
 
