@@ -188,6 +188,419 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Deferred-twiddle radix-2^R stage groups (round 2).
+#
+# Three consecutive DIF stages with half-widths l, l/2, l/4 factor into
+# (a) the same butterfly cascade with **scalar-constant** twiddles -- powers
+# of the order-8 root theta = omega_{2l}^{l/4} -- and (b) ONE combined
+# table multiply W^{bitrev3(k)} per element, W = omega_{2l}^j (validated
+# bit-exactly against the golden cascade; see docs/).  Scalar-constant
+# multiplies keep their dataflow in vector registers (measured ~100x cheaper
+# than operand x operand multiplies, PERF_NOTES.md), so this cuts the
+# expensive table multiplies per element from 3 to 1 per 3 stages -- the TPU
+# analogue of the reference's radix-8 layers
+# (reference include/sventt/layer/sve/radix-eight.hpp:95-234), whose 7
+# twiddle streams are exactly these combined tables.  The inverse mirrors:
+# the combined table is a *pre*-multiply fused into the first DIT rank, and
+# the final group folds the 1/m scaling into its table (reference
+# ``inverse_factor``, layer/sve/radix-eight.hpp:445-478).
+# ---------------------------------------------------------------------------
+
+#: Default maximum radix exponent for grouped stage bodies.  MEASURED ROUND
+#: 2 (PERF_NOTES.md): radix-8 grouping LOSES on this toolchain -- scalar-
+#: constant multiplies do not stay register-resident inside large kernel
+#: bodies, so trading table multiplies for const multiplies + selects adds
+#: net VMEM traffic (sublane shoup 12.3 vs 7.3 ms, lane 9.0 vs 8.0 at the
+#: 2^24 leaf shape).  Kept selectable for A/B and future toolchains; the
+#: default stays per-stage radix-2.
+DEFAULT_MAX_RADIX = 1
+
+
+def _bitrev(k: int, bits: int) -> int:
+    out = 0
+    for _ in range(bits):
+        out = (out << 1) | (k & 1)
+        k >>= 1
+    return out
+
+
+def _choose_groups(num_stages: int, max_r: int) -> tuple[int, ...]:
+    """Greedy grouping of the stage cascade into radix-2^R bodies.
+
+    Prefers full radix-2^max_r groups; a 4-stage remainder becomes 2+2
+    rather than 3+1 (a lone radix-2 stage pays a full table pass for one
+    exchange level).
+    """
+    if max_r <= 1:
+        return (1,) * num_stages
+    out, n = [], num_stages
+    while n > 0:
+        if n == 4 and max_r >= 3:
+            out += [2, 2]
+            n = 0
+        elif n >= max_r:
+            out.append(max_r)
+            n -= max_r
+        else:
+            out.append(n)
+            n = 0
+    return tuple(out)
+
+
+def _const_pair(mod: Modulus, modmul: str, value: int) -> tuple[int, int]:
+    """(w, wp) scalar ints in engine form for a constant twiddle."""
+    if modmul == "montgomery":
+        w = mod.to_montgomery(value % mod.modulus)
+        return w, mod.montgomery_precompute(w)
+    w = value % mod.modulus
+    return w, mod.shoup_precompute(w)
+
+
+@dataclass(frozen=True)
+class GroupSpec:
+    """Static structure of one radix-2^R stage group.
+
+    ``ls``: rank half-widths (forward: descending l, l/2, ...; inverse:
+    ascending l, 2l, ...).  ``L``: sub-slice row unit (forward ls[-1],
+    inverse ls[0]).  ``span``: the row period of the combined table.
+    ``consts``: per rank, per ``low`` sub-slice index, the scalar constant
+    twiddle as an engine-form (w, wp) int pair, or None for exponent 0.
+    """
+
+    ls: tuple[int, ...]
+    L: int
+    span: int
+    consts: tuple[tuple[object, ...], ...]
+    #: inverse only: this group's table folds the 1/m scaling, so even the
+    #: exponent-0 slice is non-identity.
+    scaled: bool = False
+
+    @property
+    def R(self) -> int:
+        return len(self.ls)
+
+
+def _forward_group_values(mod: Modulus, m: int, modmul: str, max_r: int):
+    """(specs, per-group combined-table plain values of length m)."""
+    N = mod.modulus
+    rs = _choose_groups(m.bit_length() - 1, max_r)
+    specs, tables = [], []
+    s0 = 0
+    for R in rs:
+        l = m >> (s0 + 1)
+        L = l >> (R - 1)
+        span = 2 * l
+        omega_2l = mod.get_root_forward(2 * l)
+        theta = pow(omega_2l, L, N)
+        consts = []
+        for s in range(R):
+            h = l >> s
+            row = []
+            for low in range(h // L):
+                e = ((1 << s) * low) % (1 << R)
+                row.append(
+                    None if e == 0 else _const_pair(mod, modmul, pow(theta, e, N))
+                )
+            consts.append(tuple(row))
+        vals = [
+            pow(omega_2l, (i % L) * _bitrev((i % span) // L, R), N)
+            for i in range(m)
+        ]
+        specs.append(GroupSpec(tuple(l >> s for s in range(R)), L, span, tuple(consts)))
+        tables.append(vals)
+        s0 += R
+    return tuple(specs), tables
+
+
+def _inverse_group_values(
+    mod: Modulus, m: int, modmul: str, scale_extra: int, max_r: int
+):
+    """(specs, tables) for the DIT inverse; 1/m (x scale_extra) folded into
+    the last group's combined pre-multiply table."""
+    N = mod.modulus
+    rs = _choose_groups(m.bit_length() - 1, max_r)
+    s_scale = mod.invert(m) * (scale_extra % N) % N
+    specs, tables = [], []
+    s0 = 0
+    for gi, R in enumerate(rs):
+        l = 1 << s0
+        span = (1 << R) * l
+        omega_span = mod.invert(mod.get_root_forward(span))
+        theta = pow(omega_span, l, N)
+        last = gi == len(rs) - 1
+        consts = []
+        for s in range(R):
+            row = []
+            for low in range(1 << s):
+                e = ((1 << (R - 1 - s)) * low) % (1 << R)
+                row.append(
+                    None if e == 0 else _const_pair(mod, modmul, pow(theta, e, N))
+                )
+            consts.append(tuple(row))
+        vals = []
+        for i in range(m):
+            v = pow(omega_span, (i % l) * _bitrev((i % span) // l, R), N)
+            if last:
+                v = v * s_scale % N
+            vals.append(v)
+        specs.append(
+            GroupSpec(
+                tuple((1 << s) * l for s in range(R)), l, span, tuple(consts),
+                scaled=last,
+            )
+        )
+        tables.append(vals)
+        s0 += R
+    return tuple(specs), tables
+
+
+def _vals_to_pair(mod: Modulus, vals, modmul: str):
+    """Host plain values -> engine-form (w_hi, w_lo, wp_hi, wp_lo) numpy."""
+    from .twiddle import _twiddle_pair
+
+    pair = _twiddle_pair(mod, vals, modmul)
+    return (
+        np.asarray(pair.w.hi),
+        np.asarray(pair.w.lo),
+        np.asarray(pair.wp.hi),
+        np.asarray(pair.wp.lo),
+    )
+
+
+@dataclass(frozen=True)
+class GroupedDirection:
+    """Sublane (leading-axis) grouped tables for one direction.
+
+    ``tw``: per group, four (m, BLOCK_B) uint32 arrays of the combined
+    table in engine form, pre-broadcast over the lane tile.
+    """
+
+    m: int
+    inverse: bool
+    specs: tuple[GroupSpec, ...]
+    tw: tuple[tuple[jnp.ndarray, ...], ...]
+
+
+jax.tree_util.register_dataclass(
+    GroupedDirection, data_fields=["tw"], meta_fields=["m", "inverse", "specs"]
+)
+
+
+def make_grouped_forward(
+    mod: Modulus, m: int, modmul: str = "montgomery", max_r: int = DEFAULT_MAX_RADIX
+) -> GroupedDirection:
+    specs, tables = _forward_group_values(mod, m, modmul, max_r)
+    tw = []
+    for vals in tables:
+        arrs = _vals_to_pair(mod, vals, modmul)
+        tw.append(
+            tuple(
+                jnp.asarray(np.broadcast_to(a[:, None], (m, BLOCK_B)).copy())
+                for a in arrs
+            )
+        )
+    return GroupedDirection(m, False, specs, tuple(tw))
+
+
+def make_grouped_inverse(
+    mod: Modulus,
+    m: int,
+    scale_extra: int = 1,
+    modmul: str = "montgomery",
+    max_r: int = DEFAULT_MAX_RADIX,
+) -> GroupedDirection:
+    specs, tables = _inverse_group_values(mod, m, modmul, scale_extra, max_r)
+    tw = []
+    for vals in tables:
+        arrs = _vals_to_pair(mod, vals, modmul)
+        tw.append(
+            tuple(
+                jnp.asarray(np.broadcast_to(a[:, None], (m, BLOCK_B)).copy())
+                for a in arrs
+            )
+        )
+    return GroupedDirection(m, True, specs, tuple(tw))
+
+
+def make_leaf_tables(
+    mod: Modulus, m: int, *, inverse: bool, modmul: str = "montgomery",
+    max_r: int | None = None,
+):
+    """Sublane leaf tables: radix-grouped by default (DEFAULT_MAX_RADIX),
+    per-stage radix-2 with max_r=1 (kept for A/B benchmarking)."""
+    if max_r is None:
+        max_r = DEFAULT_MAX_RADIX
+    if max_r > 1:
+        if inverse:
+            return make_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
+        return make_grouped_forward(mod, m, modmul=modmul, max_r=max_r)
+    if inverse:
+        return make_fused_inverse(mod, m, modmul=modmul)
+    return make_fused_forward(mod, m, modmul=modmul)
+
+
+def make_lane_tables(
+    mod: Modulus, m: int, *, inverse: bool, modmul: str = "montgomery",
+    max_r: int | None = None,
+):
+    """Lane-axis leaf tables, grouped by default (see make_leaf_tables)."""
+    if max_r is None:
+        max_r = DEFAULT_MAX_RADIX
+    if max_r > 1:
+        if inverse:
+            return make_lane_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
+        return make_lane_grouped_forward(mod, m, modmul=modmul, max_r=max_r)
+    if inverse:
+        return make_lane_inverse(mod, m, modmul=modmul)
+    return make_lane_forward(mod, m, modmul=modmul)
+
+
+def _rank_slices(src, i: int, count: int):
+    sh, sl = src
+    return U64(sh[i : i + count], sl[i : i + count])
+
+
+def _make_grouped_kernel(fc: FieldConsts, m: int, spec: GroupSpec, inverse: bool):
+    """One radix-2^R group as a single kernel pass set.
+
+    Forward: R-1 const-twiddle ranks, then the final rank fused with the
+    combined table multiply (both outputs table-multiplied).  Inverse: the
+    first rank fused with the combined pre-multiply, then R-1 const ranks.
+    """
+    from ..field.limb import u64_add, u64_const_like, u64_sub
+
+    R = spec.R
+    L = spec.L
+
+    def const_mul(val: U64, c) -> U64:
+        w = u64_const_like(c[0], val)
+        wp = u64_const_like(c[1], val)
+        return fc.twiddle_mul(val, w, wp)
+
+    def kernel(xh_ref, xl_ref, twh, twl, tph, tpl, oh, ol, ah, al):
+        def tw_slice(i, count):
+            return (
+                U64(twh[i : i + count], twl[i : i + count]),
+                U64(tph[i : i + count], tpl[i : i + count]),
+            )
+
+        def store(dst, i, count, val: U64):
+            dh, dl = dst
+            dh[i : i + count], dl[i : i + count] = val.hi, val.lo
+
+        # ping-pong buffers: rank r reads src_r, writes dst_r; last -> out
+        def buffers(r):
+            src = (xh_ref, xl_ref) if r == 0 else (
+                (ah, al) if r % 2 == 1 else (oh, ol)
+            )
+            dst = (oh, ol) if r == R - 1 else ((ah, al) if r % 2 == 0 else (oh, ol))
+            return src, dst
+
+        if not inverse:
+            for s in range(R):
+                h = spec.ls[s]
+                src, dst = buffers(s)
+                fused_table = s == R - 1
+                for blk in range(m // (2 * h)):
+                    base = 2 * h * blk
+                    for low in range(h // L):
+                        i = base + low * L
+                        x0 = _rank_slices(src, i, L)
+                        x1 = _rank_slices(src, i + h, L)
+                        y0 = fc.add(x0, x1)
+                        c = spec.consts[s][low]
+                        if c is None:
+                            d = fc.sub(x0, x1)
+                        else:
+                            biased = u64_add(
+                                u64_sub(x0, x1),
+                                u64_const_like(2 * fc.modulus, x0),
+                            ) if fc.lazy else fc.sub(x0, x1)
+                            d = const_mul(biased, c)
+                        if fused_table:
+                            e0 = _bitrev((i % spec.span) // L, R)
+                            if e0:
+                                w0, wp0 = tw_slice(i, L)
+                                y0 = fc.twiddle_mul(y0, w0, wp0)
+                            w1, wp1 = tw_slice(i + h, L)
+                            d = fc.twiddle_mul(d, w1, wp1)
+                        store(dst, i, L, y0)
+                        store(dst, i + h, L, d)
+        else:
+            l = spec.ls[0]
+            for s in range(R):
+                h = spec.ls[s]
+                src, dst = buffers(s)
+                for blk in range(m // (2 * h)):
+                    base = 2 * h * blk
+                    for low in range(h // l):
+                        i = base + low * l
+                        x0 = _rank_slices(src, i, l)
+                        x1 = _rank_slices(src, i + h, l)
+                        if s == 0:
+                            # fused combined pre-multiply on both inputs
+                            e0 = _bitrev((i % spec.span) // l, R)
+                            if e0 or spec.scaled:
+                                w0, wp0 = tw_slice(i, l)
+                                x0 = fc.twiddle_mul(x0, w0, wp0)
+                            w1, wp1 = tw_slice(i + h, l)
+                            t = fc.twiddle_mul(x1, w1, wp1)
+                        else:
+                            c = spec.consts[s][low]
+                            t = x1 if c is None else const_mul(x1, c)
+                        store(dst, i, l, fc.add(x0, t))
+                        store(dst, i + h, l, fc.sub(x0, t))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_call(fc: FieldConsts, m: int, spec: GroupSpec, inverse: bool):
+    """Jitted pallas_call for one radix group (cached per config)."""
+    kernel = _make_grouped_kernel(fc, m, spec, inverse)
+
+    @jax.jit
+    def call(xh, xl, twh, twl, tph, tpl):
+        b = xh.shape[1]
+        x_spec = pl.BlockSpec((m, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((m, BLOCK_B), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((m, b), jnp.uint32)] * 2,
+            grid=(b // BLOCK_B,),
+            in_specs=[x_spec, x_spec] + [w_spec] * 4,
+            out_specs=[x_spec] * 2,
+            scratch_shapes=[pltpu.VMEM((m, BLOCK_B), jnp.uint32)] * 2,
+            interpret=_use_interpret(),
+        )(xh, xl, twh, twl, tph, tpl)
+
+    return call
+
+
+def fused_ntt_grouped(x: U64, tables: GroupedDirection, fc: FieldConsts) -> U64:
+    """Grouped-kernel chain on (m, batch...) data; one pallas_call per
+    radix group.  Bit-compatible (mod N) with ops.ntt_jnp and the golden
+    model."""
+    m = tables.m
+    if x.lo.shape[0] != m:
+        raise ValueError(f"leading axis {x.lo.shape[0]} != transform length {m}")
+    batch_shape = x.lo.shape[1:]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    bp = _round_up(b, BLOCK_B)
+    xh = x.hi.reshape(m, b)
+    xl = x.lo.reshape(m, b)
+    if bp != b:
+        xh = jnp.pad(xh, ((0, 0), (0, bp - b)))
+        xl = jnp.pad(xl, ((0, 0), (0, bp - b)))
+    for spec, tw in zip(tables.specs, tables.tw):
+        call = _grouped_call(fc, m, spec, tables.inverse)
+        xh, xl = call(xh, xl, *tw)
+    if bp != b:
+        xh, xl = xh[:, :b], xl[:, :b]
+    return U64(xh.reshape((m,) + batch_shape), xl.reshape((m,) + batch_shape))
+
+
+# ---------------------------------------------------------------------------
 # Lane-axis variant: transform along the LAST axis (lanes), batch on rows.
 #
 # Consumes the six-step "transposed" layout directly: a Split node whose row
@@ -388,13 +801,185 @@ def fused_ntt_lane(
         if pre_tw.wp is not None:
             args += [flat_pad(pre_tw.wp.hi), flat_pad(pre_tw.wp.lo)]
             n_tw = 4
-    call = _lane_call(
-        fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar, n_tw
-    )
+    if isinstance(tables, GroupedLaneDirection):
+        call = _lane_grouped_call(fc, m, tables.specs, tables.inverse, n_tw)
+    else:
+        call = _lane_call(
+            fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar, n_tw
+        )
     oh, ol = call(*args, tables.tw)
     if bp != b:
         oh, ol = oh[:b], ol[:b]
     return U64(oh.reshape(batch_shape + (m,)), ol.reshape(batch_shape + (m,)))
+
+
+# -- lane-axis grouped variant ------------------------------------------------
+
+
+class GroupedLaneDirection:
+    """Grouped tables for a lane-axis fused transform (one direction).
+
+    ``tw``: (num_groups, 4, LANE_BLOCK_ROWS, m) uint32 -- per group the four
+    lane-vectors of the combined table in engine form, replicated across the
+    block rows.  The 1/m inverse scaling is folded into the final group's
+    table, so no separate scale machinery is needed.
+    """
+
+    def __init__(self, m, inverse, specs, tw):
+        self.m = m
+        self.inverse = inverse
+        self.specs = specs
+        self.tw = tw
+
+
+jax.tree_util.register_pytree_node(
+    GroupedLaneDirection,
+    lambda t: ((t.tw,), (t.m, t.inverse, t.specs)),
+    lambda aux, ch: GroupedLaneDirection(aux[0], aux[1], aux[2], ch[0]),
+)
+
+
+def _lane_group_tables(mod: Modulus, m: int, tables, modmul: str) -> jnp.ndarray:
+    out = np.zeros((len(tables), 4, LANE_BLOCK_ROWS, m), dtype=np.uint32)
+    for g, vals in enumerate(tables):
+        for c, a in enumerate(_vals_to_pair(mod, vals, modmul)):
+            out[g, c, :, :] = a[None, :]
+    return jnp.asarray(out)
+
+
+def make_lane_grouped_forward(
+    mod: Modulus, m: int, modmul: str = "montgomery", max_r: int = DEFAULT_MAX_RADIX
+) -> GroupedLaneDirection:
+    specs, tables = _forward_group_values(mod, m, modmul, max_r)
+    return GroupedLaneDirection(m, False, specs, _lane_group_tables(mod, m, tables, modmul))
+
+
+def make_lane_grouped_inverse(
+    mod: Modulus,
+    m: int,
+    scale_extra: int = 1,
+    modmul: str = "montgomery",
+    max_r: int = DEFAULT_MAX_RADIX,
+) -> GroupedLaneDirection:
+    specs, tables = _inverse_group_values(mod, m, modmul, scale_extra, max_r)
+    return GroupedLaneDirection(m, True, specs, _lane_group_tables(mod, m, tables, modmul))
+
+
+def _apply_lane_consts(fc: FieldConsts, val: U64, consts, lane, unit: int) -> U64:
+    """Multiply by the rank's scalar constant selected per lane.
+
+    ``consts``: per ``low`` index the (w, wp) int pair or None; ``low`` is
+    read from the lane id as (lane >> log2(unit)) & (len-1).  Non-None
+    entries cost one scalar-constant multiply each (register-resident fast
+    path); the select tree recombines them by lane bits.
+    """
+    from ..field.limb import u64_const_like, u64_select
+
+    n = len(consts)
+    if n == 1:
+        return val
+    cands = [
+        val
+        if c is None
+        else fc.twiddle_mul(
+            val, u64_const_like(c[0], val), u64_const_like(c[1], val)
+        )
+        for c in consts
+    ]
+    bitpos = unit.bit_length() - 1
+    while len(cands) > 1:
+        selbit = (lane & jnp.uint32(1 << bitpos)) != 0
+        cands = [
+            u64_select(selbit, cands[2 * i + 1], cands[2 * i])
+            for i in range(len(cands) // 2)
+        ]
+        bitpos += 1
+    return cands[0]
+
+
+def _lane_grouped_kernel(fc: FieldConsts, m: int, specs, inverse: bool, pre_tw: int):
+    """Grouped lane kernel: one combined table multiply per radix group
+    (epilogue on forward ranks, prologue on inverse ranks), scalar-constant
+    twiddles inside the group.  ``pre_tw`` as in _lane_kernel."""
+    from ..field.limb import u64_select
+
+    def kernel(xh_ref, xl_ref, *refs):
+        tw_ref = refs[pre_tw]
+        oh_ref, ol_ref = refs[pre_tw + 1], refs[pre_tw + 2]
+
+        def apply_pre(v):
+            w = U64(refs[0][:], refs[1][:])
+            if pre_tw == 4:
+                return fc.mont_mul(v, w, U64(refs[2][:], refs[3][:]))
+            return fc.mont_mul_full(v, w)
+
+        v = U64(xh_ref[:], xl_ref[:])  # (LANE_BLOCK_ROWS, m)
+        if pre_tw and not inverse:
+            v = apply_pre(v)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (LANE_BLOCK_ROWS, m), 1)
+        for gi, spec in enumerate(specs):
+            tg = U64(tw_ref[gi, 0], tw_ref[gi, 1])
+            tgp = U64(tw_ref[gi, 2], tw_ref[gi, 3])
+            if inverse:
+                v = fc.twiddle_mul(v, tg, tgp)  # combined pre-multiply
+            for s, h in enumerate(spec.ls):
+                bit = (lane & jnp.uint32(h)) != 0
+
+                def partner(a, bit=bit, h=h):
+                    return jnp.where(
+                        bit,
+                        pltpu.roll(a, shift=h, axis=1),
+                        pltpu.roll(a, shift=m - h, axis=1),
+                    )
+
+                if not inverse:
+                    p = U64(partner(v.hi), partner(v.lo))
+                    ssum = fc.add(v, p)
+                    d = fc.sub(p, v)  # bit-set lanes: x0 - x1
+                    d = _apply_lane_consts(fc, d, spec.consts[s], lane, spec.L)
+                    v = u64_select(bit, d, ssum)
+                else:
+                    t = _apply_lane_consts(fc, v, spec.consts[s], lane, spec.ls[0])
+                    px = U64(partner(v.hi), partner(v.lo))
+                    pt = U64(partner(t.hi), partner(t.lo))
+                    v = u64_select(bit, fc.sub(px, t), fc.add(v, pt))
+            if not inverse:
+                v = fc.twiddle_mul(v, tg, tgp)  # combined epilogue
+        if pre_tw and inverse:
+            v = apply_pre(v)
+        oh_ref[:], ol_ref[:] = v.hi, v.lo
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_grouped_call(
+    fc: FieldConsts, m: int, specs: tuple, inverse: bool, pre_tw: int
+):
+    kernel = _lane_grouped_kernel(fc, m, specs, inverse, pre_tw)
+    n_groups = len(specs)
+
+    @jax.jit
+    def call(xh, xl, *rest):
+        b = xh.shape[0]
+        x_spec = pl.BlockSpec(
+            (LANE_BLOCK_ROWS, m), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        tw_spec = pl.BlockSpec(
+            (n_groups, 4, LANE_BLOCK_ROWS, m),
+            lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((b, m), jnp.uint32)] * 2,
+            grid=(b // LANE_BLOCK_ROWS,),
+            in_specs=[x_spec, x_spec] + [x_spec] * pre_tw + [tw_spec],
+            out_specs=[x_spec] * 2,
+            interpret=_use_interpret(),
+        )(xh, xl, *rest)
+
+    return call
 
 
 @functools.lru_cache(maxsize=None)
@@ -427,12 +1012,16 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def fused_ntt(x: U64, tables: FusedDirection, fc: FieldConsts) -> U64:
+def fused_ntt(x: U64, tables, fc: FieldConsts) -> U64:
     """Run the fused kernel chain on (m, batch...) data.
 
     Bit-compatible (mod N) with ops.ntt_jnp.ntt_forward / ntt_inverse (and
     hence the golden model).  Batch is flattened and padded to BLOCK_B.
+    Accepts either per-stage (FusedDirection) or radix-grouped
+    (GroupedDirection) tables.
     """
+    if isinstance(tables, GroupedDirection):
+        return fused_ntt_grouped(x, tables, fc)
     m = tables.m
     if x.lo.shape[0] != m:
         raise ValueError(f"leading axis {x.lo.shape[0]} != transform length {m}")

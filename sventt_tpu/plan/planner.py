@@ -138,10 +138,9 @@ class PlanTables:
                 return
             modmul = self.fc.modmul
             if node.engine == "pallas":
-                if self.inverse:
-                    t = ntt_pallas.make_fused_inverse(self.mod, node.m, modmul=modmul)
-                else:
-                    t = ntt_pallas.make_fused_forward(self.mod, node.m, modmul=modmul)
+                t = ntt_pallas.make_leaf_tables(
+                    self.mod, node.m, inverse=self.inverse, modmul=modmul
+                )
             elif self.inverse:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)
             else:
@@ -154,12 +153,9 @@ class PlanTables:
                     self.mod, node.m0, node.m1, inverse=self.inverse
                 )
             if _lane_row(node) and node.m1 not in self.lane:
-                mk = (
-                    ntt_pallas.make_lane_inverse
-                    if self.inverse
-                    else ntt_pallas.make_lane_forward
+                self.lane[node.m1] = ntt_pallas.make_lane_tables(
+                    self.mod, node.m1, inverse=self.inverse, modmul=self.fc.modmul
                 )
-                self.lane[node.m1] = mk(self.mod, node.m1, modmul=self.fc.modmul)
             self._prepare(node.col)
             self._prepare(node.row)
 
