@@ -228,6 +228,112 @@ def u64_const_like(value: int, like: U64) -> U64:
 
 
 # ---------------------------------------------------------------------------
+# Sparse-modulus ("Solinas") multiply chains.
+#
+# NTT-friendly primes are sparse: N = c*2^s + 1 (Proth form, e.g. the test
+# modulus 58*2^56 + 1) or N = 2^64 - c*2^s + 1 (Solinas form, e.g. the
+# flagship 2^64 - 1827*2^31 + 1 and Goldilocks 2^64 - 2^32 + 1).  Products
+# with N then reduce to one small-constant multiply plus shifts -- cutting
+# the 16-multiply u64_mulhi(q, N) of Montgomery reduction (PERF_NOTES.md
+# lists the multiply-chain VMEM traffic as the governing bound) to ~4.
+# Detection is automatic in FieldConsts.from_modulus; the generic path
+# remains for arbitrary moduli.
+# ---------------------------------------------------------------------------
+
+
+def detect_sparse_modulus(N: int, max_c_bits: int = 20):
+    """(form, c, s) with form 'low' (N = c*2^s + 1), 'high'
+    (N = 2^64 - c*2^s + 1) or 'generic'."""
+    candidates = []
+    M = N - 1
+    s = (M & -M).bit_length() - 1
+    c = M >> s
+    if c.bit_length() <= max_c_bits:
+        candidates.append(("low", c, s))
+    M = ((1 << 64) - N + 1) & MASK64
+    if M:
+        s = (M & -M).bit_length() - 1
+        c = M >> s
+        if c.bit_length() <= max_c_bits:
+            candidates.append(("high", c, s))
+    if not candidates:
+        return ("generic", 0, 0)
+    return min(candidates, key=lambda t: t[1])
+
+
+def _mul_small_shift(q: U64, c: int, s: int):
+    """(q * c) << s as four uint32 limbs (W3, W2, W1, W0), exact.
+
+    Requires c * 2^s < 2^64 (guaranteed when c*2^s + 1 or 2^64 - c*2^s + 1
+    is the modulus), so the 128-bit result never overflows.  ``c`` and ``s``
+    are Python ints -- the multiplies are by scalar constants and XLA folds
+    the zero partial products of small c.
+    """
+    cc = _U32(c)
+    lo_p = mul32_wide(q.lo, cc)  # q.lo * c
+    hi_p = mul32_wide(q.hi, cc)  # q.hi * c
+    # q*c = T2*2^64 + T1*2^32 + T0
+    t0 = lo_p.lo
+    t1 = lo_p.hi + hi_p.lo
+    carry = (t1 < lo_p.hi).astype(_U32)
+    t2 = hi_p.hi + carry
+    limbs = [t0, t1, t2, jnp.zeros_like(t0)]
+    # shift left by s across 32-bit limbs
+    ls, sb = divmod(s, 32)
+    out = []
+    for i in range(4):
+        w = jnp.zeros_like(t0)
+        src = i - ls
+        if 0 <= src < 4:
+            w = w | (limbs[src] << _U32(sb)) if sb else limbs[src]
+        if sb and 0 <= src - 1 < 4:
+            w = w | (limbs[src - 1] >> _U32(32 - sb))
+        out.append(w)
+    return out[3], out[2], out[1], out[0]
+
+
+def u64_mulhi_sparse(q: U64, form: str, c: int, s: int) -> U64:
+    """hi64(q * N) for a sparse modulus N (exact; range [0, N))."""
+    w3, w2, w1, w0 = _mul_small_shift(q, c, s)
+    if form == "low":
+        # q*N = (q*c << s) + q: add q at the bottom, propagate carries up.
+        y0 = w0 + q.lo
+        c0 = (y0 < w0).astype(_U32)
+        y1 = w1 + q.hi
+        c1 = (y1 < w1).astype(_U32)
+        y1b = y1 + c0
+        c1 = c1 | (y1b < c0).astype(_U32)
+        y2 = w2 + c1
+        c2 = (y2 < c1).astype(_U32)
+        y3 = w3 + c2
+        return U64(y3, y2)
+    # high: q*N = q*2^64 - Y with Y = (q*c << s) - q >= 0;
+    # hi64 = q - hi64(Y) - (lo64(Y) != 0).
+    y0 = w0 - q.lo
+    b0 = (w0 < q.lo).astype(_U32)
+    y1 = w1 - q.hi
+    b1 = (w1 < q.hi).astype(_U32)
+    y1b = y1 - b0
+    b1 = b1 | (y1 < b0).astype(_U32)
+    y2 = w2 - b1
+    b2 = (w2 < b1).astype(_U32)
+    y3 = w3 - b2
+    hi = u64_sub(q, U64(y3, y2))
+    nz = ((y1b | y0) != _U32(0)).astype(_U32)
+    return u64_sub(hi, U64(jnp.zeros_like(nz), nz))
+
+
+def u64_mullo_sparse(q: U64, form: str, c: int, s: int) -> U64:
+    """lo64(q * N) for a sparse modulus N."""
+    w3, w2, w1, w0 = _mul_small_shift(q, c, s)
+    del w3, w2
+    p = U64(w1, w0)
+    if form == "low":
+        return u64_add(p, q)  # lo64((q*c << s) + q)
+    return u64_sub(q, p)  # lo64(q*(2^64 - c*2^s + 1)) = lo64(q - (q*c << s))
+
+
+# ---------------------------------------------------------------------------
 # Modulus-bound engine
 # ---------------------------------------------------------------------------
 
@@ -251,6 +357,13 @@ class FieldConsts:
     #: range discipline); pointwise data*data products always use
     #: Montgomery (Shoup needs a precomputed companion).
     modmul: str = "montgomery"
+    #: Sparse-modulus (Solinas/Proth) multiply chain for products with N:
+    #: "low" (N = c*2^s + 1), "high" (N = 2^64 - c*2^s + 1) or "generic".
+    #: Auto-detected; cuts the hi64(q*N) of Montgomery reduction from 16
+    #: multiplies to ~4 (all test/flagship/Goldilocks moduli qualify).
+    n_form: str = "generic"
+    n_c: int = 0
+    n_s: int = 0
 
     @classmethod
     def from_modulus(
@@ -272,7 +385,20 @@ class FieldConsts:
             raise ValueError(f"unknown modmul engine {modmul!r}")
         if modmul == "shoup" and not lazy:
             raise ValueError("shoup engine requires lazy mode (bit_width <= 62)")
-        return cls(mod.modulus, mod.montgomery_inverse, lazy, modmul)
+        form, c, s = detect_sparse_modulus(mod.modulus)
+        return cls(mod.modulus, mod.montgomery_inverse, lazy, modmul, form, c, s)
+
+    def _mulhi_n(self, q: U64) -> U64:
+        """hi64(q * N) via the sparse chain when the modulus allows."""
+        if self.n_form != "generic":
+            return u64_mulhi_sparse(q, self.n_form, self.n_c, self.n_s)
+        return u64_mulhi(q, u64_const_like(self.modulus, q))
+
+    def _mullo_n(self, q: U64) -> U64:
+        """lo64(q * N) via the sparse chain when the modulus allows."""
+        if self.n_form != "generic":
+            return u64_mullo_sparse(q, self.n_form, self.n_c, self.n_s)
+        return u64_mullo(q, u64_const_like(self.modulus, q))
 
     # -- addition/subtraction ------------------------------------------------
 
@@ -332,7 +458,7 @@ class FieldConsts:
         the +N bias (lazy, (0,2N) result; reference sve/p-adic-64.hpp:88-89)
         or borrow-conditional +N (canonical [0,N) for 63/64-bit moduli;
         reference sve/p-adic-64.hpp:90-92)."""
-        qn1 = u64_mulhi(q, u64_const_like(self.modulus, q))
+        qn1 = self._mulhi_n(q)
         if self.lazy:
             return u64_add(u64_sub(ab1, qn1), u64_const_like(self.modulus, ab1))
         d = u64_sub(ab1, qn1)
@@ -362,7 +488,7 @@ class FieldConsts:
         if self.modulus.bit_length() > 63:
             raise ValueError("Shoup multiply requires bit_width(N) <= 63")
         hi = u64_mulhi(a, wp)
-        t = u64_mullo(hi, u64_const_like(self.modulus, hi))
+        t = self._mullo_n(hi)
         c = u64_sub(u64_mullo(a, w), t)
         if self.lazy:
             return c

@@ -206,3 +206,65 @@ def test_butterflies(rng, mod):
 def test_lazy_rejected_for_wide_modulus():
     with pytest.raises(ValueError):
         FieldConsts.from_modulus(Modulus(GOLDILOCKS_MODULUS, 7), lazy=True)
+
+
+def test_sparse_modulus_detection():
+    from sventt_tpu.field.limb import detect_sparse_modulus
+
+    assert detect_sparse_modulus(TEST_MODULUS) == ("low", 29, 57)
+    assert detect_sparse_modulus(FLAGSHIP_MODULUS) == ("high", 1827, 31)
+    assert detect_sparse_modulus(GOLDILOCKS_MODULUS) == ("high", 1, 32)
+    # dense modulus falls back to the generic multiply
+    assert detect_sparse_modulus((1 << 61) + 20 * (1 << 32) + 1)[0] == "generic"
+
+
+@pytest.mark.parametrize(
+    "N", [TEST_MODULUS, FLAGSHIP_MODULUS, GOLDILOCKS_MODULUS]
+)
+def test_sparse_mul_chains_exact(rng, N):
+    """u64_mulhi_sparse / u64_mullo_sparse == exact q*N limbs for random and
+    corner-case q (the Solinas/Proth fast path of Montgomery/Shoup
+    reduction)."""
+    from sventt_tpu.field.limb import (
+        detect_sparse_modulus,
+        u64_mulhi_sparse,
+        u64_mullo_sparse,
+    )
+
+    form, c, s = detect_sparse_modulus(N)
+    assert form != "generic"
+    qs = np.concatenate(
+        [
+            rng.integers(0, 1 << 64, 512, dtype=np.uint64),
+            np.array(
+                [0, 1, N - 1, N, (2 * N) % (1 << 64), (1 << 64) - 1, 1 << 63],
+                dtype=np.uint64,
+            ),
+        ]
+    )
+    q = u64_from_numpy(qs)
+    hi = u64_to_numpy(u64_mulhi_sparse(q, form, c, s))
+    lo = u64_to_numpy(u64_mullo_sparse(q, form, c, s))
+    for v, h, l in zip(qs, hi, lo):
+        p = int(v) * N
+        assert int(h) == p >> 64
+        assert int(l) == p & ((1 << 64) - 1)
+
+
+def test_generic_modulus_field_ops(rng):
+    """A dense (non-sparse) prime keeps the generic multiply path working."""
+    from sventt_tpu.field.modulus import find_generator, is_probable_prime
+
+    # prime with dense bit pattern: search near 2^61 + 3*2^33
+    N = (1 << 61) + 3 * (1 << 33) + 1
+    while not (is_probable_prime(N) and (N - 1) % 8 == 0):
+        N += 8
+    fc = FieldConsts.from_modulus(Modulus(N, find_generator(N)))
+    assert fc.n_form == "generic" or fc.n_c.bit_length() <= 20
+    xs = rng.integers(0, N, 256, dtype=np.uint64)
+    ys = rng.integers(0, N, 256, dtype=np.uint64)
+    a, b = u64_from_numpy(xs), u64_from_numpy(ys)
+    got = u64_to_numpy(fc.mont_mul_full(a, b))
+    rinv = pow(1 << 64, N - 2, N)
+    for x, y, r in zip(xs, ys, got):
+        assert int(r) % N == int(x) * int(y) * rinv % N
