@@ -20,6 +20,13 @@ extern "C" {
 
 static u64 mulmod(u64 a, u64 b, u64 N) { return (u128)a * b % N; }
 
+// Addition/subtraction via u128: a + b and a + N - b overflow u64 when
+// bit_width(N) == 64 (e.g. the flagship modulus 0xffff'fc6e'8000'0001).
+static u64 addmod(u64 a, u64 b, u64 N) { return (u64)(((u128)a + b) % N); }
+static u64 submod(u64 a, u64 b, u64 N) {
+  return (u64)(((u128)a + N - b) % N);
+}
+
 static u64 powmod(u64 a, u64 e, u64 N) {
   u64 r = 1 % N;
   a %= N;
@@ -46,9 +53,8 @@ int sventt_golden_forward(u64 *data, u64 m, u64 N, u64 omega_m) {
     for (u64 j = 0; j < l; ++j) {
       for (u64 k = j; k < m; k += l << 1) {
         u64 x0 = data[k], x1 = data[k + l];
-        data[k] = (x0 + x1) % N;
-        u64 d = (x0 + N - x1) % N;
-        data[k + l] = mulmod(d, w, N);
+        data[k] = addmod(x0, x1, N);
+        data[k + l] = mulmod(submod(x0, x1, N), w, N);
       }
       w = mulmod(w, omega_2l, N);
     }
@@ -75,8 +81,8 @@ int sventt_golden_inverse(u64 *data, u64 m, u64 N, u64 omega_m) {
       for (u64 k = j; k < m; k += l << 1) {
         u64 x0 = data[k];
         u64 x1 = mulmod(data[k + l], w, N);
-        data[k] = (x0 + x1) % N;
-        data[k + l] = (x0 + N - x1) % N;
+        data[k] = addmod(x0, x1, N);
+        data[k + l] = submod(x0, x1, N);
       }
       w = mulmod(w, omegainv_2l, N);
     }

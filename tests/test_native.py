@@ -38,6 +38,32 @@ def test_native_large_roundtrip(rng):
     assert int(fwd[0]) == int(x.astype(object).sum() % TEST_MODULUS)
 
 
+@pytest.mark.parametrize(
+    "modulus,generator",
+    [
+        (0xFFFF_FC6E_8000_0001, 3),  # flagship, bit_width == 64
+        (0xFFFF_FFFF_0000_0001, 7),  # Goldilocks, bit_width == 64
+    ],
+)
+def test_native_64bit_modulus(rng, modulus, generator):
+    """Regression: butterfly adds overflowed u64 for 64-bit moduli.
+
+    ``x0 + x1`` and ``x0 + N - x1`` exceed 2^64 when bit_width(N) == 64 (the
+    reference handles this with dedicated carry-aware paths, e.g.
+    modmul/sve/p-adic-64.hpp:44-49); the oracle must use 128-bit sums.
+    """
+    m = 256
+    mod = Modulus(modulus, generator)
+    golden = GoldenNTT(m, mod)
+    x = rng.integers(0, modulus, m, dtype=np.uint64)
+    nat = native.golden_forward(x, modulus, generator)
+    want = golden.forward([int(v) for v in x])
+    assert [int(v) for v in nat] == want
+    assert int(nat[0]) == int(x.astype(object).sum() % modulus)
+    back = native.golden_inverse(nat, modulus, generator)
+    np.testing.assert_array_equal(back, x)
+
+
 def test_native_helpers():
     lib = native._load()
     N = TEST_MODULUS
