@@ -127,11 +127,33 @@ def make_fused_inverse(
     return FusedDirection(m, True, tuple(ls), tuple(tw), tuple(sc))
 
 
-def _make_group_kernel(fc: FieldConsts, m: int, stage_ls, inverse: bool, with_scale: bool):
+class _Axis1View:
+    """2D (m, lanes) view of a (1, m, lanes) block ref.
+
+    Lets the sublane stage bodies run unchanged on middle-axis 3D blocks
+    (grid over axis 0): Mosaic compiles leading-unit-dim blocks at full
+    sublane-kernel speed (measured at parity, PERF_NOTES.md round 2).
+    """
+
+    def __init__(self, ref):
+        self.ref = ref
+
+    def __getitem__(self, sl):
+        return self.ref[0, sl]
+
+    def __setitem__(self, sl, value):
+        self.ref[0, sl] = value
+
+
+def _make_group_kernel(
+    fc: FieldConsts, m: int, stage_ls, inverse: bool, with_scale: bool,
+    mid: bool = False,
+):
     """Kernel running a group of stages with ping-pong through scratch.
 
     Argument order: xh, xl, 4 per stage [, 4 scale], oh, ol, scratch_h,
-    scratch_l.
+    scratch_l.  With ``mid=True`` the data refs are (1, m, lanes) blocks of
+    a 3D array (transform along the middle axis) wrapped in _Axis1View.
     """
     n = len(stage_ls)
 
@@ -139,6 +161,9 @@ def _make_group_kernel(fc: FieldConsts, m: int, stage_ls, inverse: bool, with_sc
         ntw = 4 * n + (4 if with_scale else 0)
         tw_refs = rest[:ntw]
         oh, ol, ah, al = rest[ntw], rest[ntw + 1], rest[ntw + 2], rest[ntw + 3]
+        if mid:
+            xh_ref, xl_ref = _Axis1View(xh_ref), _Axis1View(xl_ref)
+            oh, ol = _Axis1View(oh), _Axis1View(ol)
         for i, l in enumerate(stage_ls):
             if i == 0:
                 src = (xh_ref, xl_ref)
@@ -1006,6 +1031,82 @@ def _group_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_sc
         )(xh, xl, *tw_flat)
 
     return call
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_call(
+    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool
+):
+    """Jitted pallas_call for one stage group along the MIDDLE axis of a
+    (A, m, B) array, gridded over (A, B / BLOCK_B)."""
+    kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale, mid=True)
+    n_tw = 4 * len(stage_ls) + (4 if with_scale else 0)
+
+    @jax.jit
+    def call(xh, xl, *tw_flat):
+        a, _, b = xh.shape
+        x_spec = pl.BlockSpec(
+            (1, m, BLOCK_B), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        )
+        w_spec = pl.BlockSpec(
+            (m // 2, BLOCK_B), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((a, m, b), jnp.uint32)] * 2,
+            grid=(a, b // BLOCK_B),
+            in_specs=[x_spec, x_spec] + [w_spec] * n_tw,
+            out_specs=[x_spec] * 2,
+            scratch_shapes=[pltpu.VMEM((m, BLOCK_B), jnp.uint32)] * 2,
+            interpret=_use_interpret(),
+        )(xh, xl, *tw_flat)
+
+    return call
+
+
+def fused_ntt_mid(x: U64, tables: FusedDirection, fc: FieldConsts) -> U64:
+    """Length-m NTT along AXIS 1 of (A, m, batch...) data.
+
+    The six-step row step applied directly on the (columns, rows, batch)
+    layout: a Split node with a non-empty batch runs its row leaf here
+    instead of the transpose / leading-axis leaf / transpose sandwich
+    (the reference's blocked six-step fuses transposition into its row
+    layers the same way, reference layer/sve/blocked-generic.hpp:138-154).
+    Bit-compatible (mod N) with fused_ntt applied to the transposed data.
+    """
+    m = tables.m
+    if x.lo.shape[1] != m:
+        raise ValueError(f"axis-1 length {x.lo.shape[1]} != transform length {m}")
+    a = x.lo.shape[0]
+    batch_shape = x.lo.shape[2:]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    bp = _round_up(b, BLOCK_B)
+    xh = x.hi.reshape(a, m, b)
+    xl = x.lo.reshape(a, m, b)
+    if bp != b:
+        pad = ((0, 0), (0, 0), (0, bp - b))
+        xh = jnp.pad(xh, pad)
+        xl = jnp.pad(xl, pad)
+
+    n = len(tables.stage_ls)
+    groups = [
+        list(range(i, min(i + MAX_STAGES_PER_CALL, n)))
+        for i in range(0, n, MAX_STAGES_PER_CALL)
+    ]
+    for g in groups:
+        stage_ls = tuple(tables.stage_ls[s] for s in g)
+        with_scale = tables.inverse and (n - 1 in g)
+        tw_flat = [arr for s in g for arr in tables.tw[s]]
+        if with_scale:
+            tw_flat += list(tables.scale)
+        call = _mid_call(fc, m, stage_ls, tables.inverse, with_scale)
+        xh, xl = call(xh, xl, *tw_flat)
+
+    if bp != b:
+        xh, xl = xh[:, :, :b], xl[:, :, :b]
+    return U64(
+        xh.reshape((a, m) + batch_shape), xl.reshape((a, m) + batch_shape)
+    )
 
 
 def _round_up(x: int, mult: int) -> int:

@@ -177,6 +177,20 @@ def _lane_row(node) -> bool:
     )
 
 
+def _mid_row(node, tables) -> bool:
+    """Split nodes whose row child is a pallas leaf run it via the
+    middle-axis kernel when the batch is NON-empty (inner split levels and
+    user-batched transforms): no six-step transposes at that level either
+    (reference layer/sve/blocked-generic.hpp:138-154 fuses transposition
+    into the blocked row layer the same way)."""
+    return (
+        isinstance(node, Split)
+        and isinstance(node.row, Leaf)
+        and node.row.engine == "pallas"
+        and isinstance(tables.leaf.get(node.row.m), ntt_pallas.FusedDirection)
+    )
+
+
 def _transpose01(x: U64) -> U64:
     perm = (1, 0) + tuple(range(2, x.lo.ndim))
     return U64(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm))
@@ -214,6 +228,11 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         mat = ntt_pallas.fused_ntt_lane(
             mat, tables.lane[node.m1], fc, pre_tw=tables.split_tw[(m0, m1)]
         )
+    elif batch and _mid_row(node, tables):
+        # middle-axis row leaf: transform along axis 1 in place (batched
+        # splits / inner levels), no transposes
+        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+        mat = ntt_pallas.fused_ntt_mid(mat, tables.leaf[node.m1], fc)
     else:
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
         mat = _transpose01(mat)  # (m1, m0, batch)
@@ -241,6 +260,10 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
         mat = ntt_pallas.fused_ntt_lane(
             mat, tables.lane[node.m1], fc, pre_tw=tables.split_tw[(m0, m1)]
         )
+    elif batch and _mid_row(node, tables):
+        # undo row NTTs along axis 1 in place, then inverse twiddles
+        mat = ntt_pallas.fused_ntt_mid(mat, tables.leaf[node.m1], fc)
+        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     else:
         mat = _transpose01(mat)
         mat = run_inverse(mat, node.row, tables)  # undo row NTTs
