@@ -63,10 +63,12 @@ class FusedDirection:
     """Prepared device tables for one transform direction at one length.
 
     ``stage_ls``: DIF order l = m/2..1 (forward) or DIT order l = 1..m/2
-    (inverse).  ``tw``: per stage, four (m/2, BLOCK_B) uint32 arrays
+    (inverse).  ``tw``: per stage, four (m/2, block_b) uint32 arrays
     (w_hi, w_lo, wp_hi, wp_lo) in butterfly layout.  ``scale``: for the
-    inverse, four (m/2, BLOCK_B) arrays of the broadcast (s, sp) pair used
+    inverse, four (m/2, block_b) arrays of the broadcast (s, sp) pair used
     by the final double-twiddle stage; empty tuple for forward.
+    ``block_b``/``spc`` are the lane-tile width and max stages per
+    pallas_call the tables were prepared for (autotunable knobs).
 
     Registered as a pytree (arrays are data, the schedule is static) so
     prepared tables pass through jit as arguments, not baked-in constants.
@@ -77,44 +79,59 @@ class FusedDirection:
     stage_ls: tuple[int, ...]
     tw: tuple[tuple[jnp.ndarray, ...], ...]
     scale: tuple[jnp.ndarray, ...]
+    block_b: int = BLOCK_B
+    spc: int = MAX_STAGES_PER_CALL
 
 
 jax.tree_util.register_dataclass(
     FusedDirection,
     data_fields=["tw", "scale"],
-    meta_fields=["m", "inverse", "stage_ls"],
+    meta_fields=["m", "inverse", "stage_ls", "block_b", "spc"],
 )
 
 
-def _expand_pair(pair, m: int, l: int) -> tuple[jnp.ndarray, ...]:
+def _expand_pair(pair, m: int, l: int, block_b: int) -> tuple[jnp.ndarray, ...]:
     out = []
     for a in (pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo):
         e = np.tile(np.asarray(a), m // (2 * l))[:, None]
-        out.append(jnp.asarray(np.broadcast_to(e, (m // 2, BLOCK_B)).copy()))
+        out.append(jnp.asarray(np.broadcast_to(e, (m // 2, block_b)).copy()))
     return tuple(out)
 
 
 def make_fused_forward(
-    mod: Modulus, m: int, modmul: str = "montgomery"
+    mod: Modulus,
+    m: int,
+    modmul: str = "montgomery",
+    block_b: int | None = None,
+    spc: int | None = None,
 ) -> FusedDirection:
+    block_b = block_b or BLOCK_B
     tabs = forward_tables(mod, m, modmul)
     ls, tw = [], []
     for s, pair in enumerate(tabs.stages):  # l = m/2 ... 1
         l = m >> (s + 1)
         ls.append(l)
-        tw.append(_expand_pair(pair, m, l))
-    return FusedDirection(m, False, tuple(ls), tuple(tw), ())
+        tw.append(_expand_pair(pair, m, l, block_b))
+    return FusedDirection(
+        m, False, tuple(ls), tuple(tw), (), block_b, spc or MAX_STAGES_PER_CALL
+    )
 
 
 def make_fused_inverse(
-    mod: Modulus, m: int, scale_extra: int = 1, modmul: str = "montgomery"
+    mod: Modulus,
+    m: int,
+    scale_extra: int = 1,
+    modmul: str = "montgomery",
+    block_b: int | None = None,
+    spc: int | None = None,
 ) -> FusedDirection:
+    block_b = block_b or BLOCK_B
     tabs = inverse_tables(mod, m, scale_extra, modmul)
     ls, tw = [], []
     for s, pair in enumerate(tabs.stages):  # l = 1 ... m/2
         l = 1 << s
         ls.append(l)
-        tw.append(_expand_pair(pair, m, l))
+        tw.append(_expand_pair(pair, m, l, block_b))
     sc = []
     for a in (
         tabs.scale.w.hi,
@@ -122,9 +139,12 @@ def make_fused_inverse(
         tabs.scale.wp.hi,
         tabs.scale.wp.lo,
     ):
-        v = np.full((m // 2, BLOCK_B), np.asarray(a)[0], dtype=np.uint32)
+        v = np.full((m // 2, block_b), np.asarray(a)[0], dtype=np.uint32)
         sc.append(jnp.asarray(v))
-    return FusedDirection(m, True, tuple(ls), tuple(tw), tuple(sc))
+    return FusedDirection(
+        m, True, tuple(ls), tuple(tw), tuple(sc), block_b,
+        spc or MAX_STAGES_PER_CALL,
+    )
 
 
 class _Axis1View:
@@ -449,10 +469,11 @@ def make_grouped_inverse(
 
 def make_leaf_tables(
     mod: Modulus, m: int, *, inverse: bool, modmul: str = "montgomery",
-    max_r: int | None = None,
+    max_r: int | None = None, block_b: int | None = None, spc: int | None = None,
 ):
-    """Sublane leaf tables: radix-grouped by default (DEFAULT_MAX_RADIX),
-    per-stage radix-2 with max_r=1 (kept for A/B benchmarking)."""
+    """Sublane leaf tables: per-stage radix-2 by default (DEFAULT_MAX_RADIX),
+    radix-grouped with max_r>1 (kept for A/B benchmarking).  ``block_b`` /
+    ``spc`` are the autotunable lane-tile width and stages-per-call."""
     if max_r is None:
         max_r = DEFAULT_MAX_RADIX
     if max_r > 1:
@@ -460,15 +481,16 @@ def make_leaf_tables(
             return make_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
         return make_grouped_forward(mod, m, modmul=modmul, max_r=max_r)
     if inverse:
-        return make_fused_inverse(mod, m, modmul=modmul)
-    return make_fused_forward(mod, m, modmul=modmul)
+        return make_fused_inverse(mod, m, modmul=modmul, block_b=block_b, spc=spc)
+    return make_fused_forward(mod, m, modmul=modmul, block_b=block_b, spc=spc)
 
 
 def make_lane_tables(
     mod: Modulus, m: int, *, inverse: bool, modmul: str = "montgomery",
-    max_r: int | None = None,
+    max_r: int | None = None, rows: int | None = None,
 ):
-    """Lane-axis leaf tables, grouped by default (see make_leaf_tables)."""
+    """Lane-axis leaf tables (see make_leaf_tables); ``rows`` is the
+    autotunable batch-rows block height."""
     if max_r is None:
         max_r = DEFAULT_MAX_RADIX
     if max_r > 1:
@@ -476,8 +498,8 @@ def make_lane_tables(
             return make_lane_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
         return make_lane_grouped_forward(mod, m, modmul=modmul, max_r=max_r)
     if inverse:
-        return make_lane_inverse(mod, m, modmul=modmul)
-    return make_lane_forward(mod, m, modmul=modmul)
+        return make_lane_inverse(mod, m, modmul=modmul, rows=rows)
+    return make_lane_forward(mod, m, modmul=modmul, rows=rows)
 
 
 def _rank_slices(src, i: int, count: int):
@@ -644,66 +666,77 @@ LANE_BLOCK_ROWS = 64
 class LaneDirection:
     """Prepared tables for a lane-axis fused transform (one direction).
 
-    ``tw``: (num_stages, 4, LANE_BLOCK_ROWS, m) uint32 — per stage the four
+    ``tw``: (num_stages, 4, rows, m) uint32 — per stage the four
     lane-vectors (w_hi, w_lo, wp_hi, wp_lo) with w_vec[i] = w_stage[i mod l]
     replicated across the block rows.  ``scale``: same four rows for the
     final double-twiddle inverse stage (s*w), plus the scalar pair (s, sp)
-    baked as Python ints; None for forward.
+    baked as Python ints; None for forward.  ``rows`` is the batch-rows
+    block height (autotunable knob, default LANE_BLOCK_ROWS).
     """
 
-    def __init__(self, m, inverse, stage_ls, tw, scale_scalar):
+    def __init__(self, m, inverse, stage_ls, tw, scale_scalar, rows=LANE_BLOCK_ROWS):
         self.m = m
         self.inverse = inverse
         self.stage_ls = stage_ls
         self.tw = tw
         self.scale_scalar = scale_scalar  # (s, sp) ints or None
+        self.rows = rows
 
 
 jax.tree_util.register_pytree_node(
     LaneDirection,
-    lambda t: ((t.tw,), (t.m, t.inverse, t.stage_ls, t.scale_scalar)),
-    lambda aux, ch: LaneDirection(aux[0], aux[1], aux[2], ch[0], aux[3]),
+    lambda t: ((t.tw,), (t.m, t.inverse, t.stage_ls, t.scale_scalar, t.rows)),
+    lambda aux, ch: LaneDirection(aux[0], aux[1], aux[2], ch[0], aux[3], aux[4]),
 )
 
 
-def _lane_vec(pair, m: int, l: int) -> np.ndarray:
-    """(4, LANE_BLOCK_ROWS, m) lane-vector table for one stage."""
+def _lane_vec(pair, m: int, l: int, rows: int) -> np.ndarray:
+    """(4, rows, m) lane-vector table for one stage."""
     idx = np.arange(m) % l
-    out = np.zeros((4, LANE_BLOCK_ROWS, m), dtype=np.uint32)
+    out = np.zeros((4, rows, m), dtype=np.uint32)
     for c, arr in enumerate((pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo)):
         out[c, :, :] = np.asarray(arr)[idx][None, :]
     return out
 
 
-def make_lane_forward(mod: Modulus, m: int, modmul: str = "montgomery") -> LaneDirection:
+def make_lane_forward(
+    mod: Modulus, m: int, modmul: str = "montgomery", rows: int | None = None
+) -> LaneDirection:
+    rows = rows or LANE_BLOCK_ROWS
     tabs = forward_tables(mod, m, modmul)
     ls, tw = [], []
     for s, pair in enumerate(tabs.stages):
         l = m >> (s + 1)
         ls.append(l)
-        tw.append(_lane_vec(pair, m, l))
-    return LaneDirection(m, False, tuple(ls), jnp.asarray(np.stack(tw)), None)
+        tw.append(_lane_vec(pair, m, l, rows))
+    return LaneDirection(m, False, tuple(ls), jnp.asarray(np.stack(tw)), None, rows)
 
 
 def make_lane_inverse(
-    mod: Modulus, m: int, scale_extra: int = 1, modmul: str = "montgomery"
+    mod: Modulus,
+    m: int,
+    scale_extra: int = 1,
+    modmul: str = "montgomery",
+    rows: int | None = None,
 ) -> LaneDirection:
+    rows = rows or LANE_BLOCK_ROWS
     tabs = inverse_tables(mod, m, scale_extra, modmul)
     ls, tw = [], []
     for s, pair in enumerate(tabs.stages):
         l = 1 << s
         ls.append(l)
-        tw.append(_lane_vec(pair, m, l))
+        tw.append(_lane_vec(pair, m, l, rows))
     s_hi = int(np.asarray(tabs.scale.w.hi)[0])
     s_lo = int(np.asarray(tabs.scale.w.lo)[0])
     sp_hi = int(np.asarray(tabs.scale.wp.hi)[0])
     sp_lo = int(np.asarray(tabs.scale.wp.lo)[0])
     scale = ((s_hi << 32) | s_lo, (sp_hi << 32) | sp_lo)
-    return LaneDirection(m, True, tuple(ls), jnp.asarray(np.stack(tw)), scale)
+    return LaneDirection(m, True, tuple(ls), jnp.asarray(np.stack(tw)), scale, rows)
 
 
 def _lane_kernel(
-    fc: FieldConsts, m: int, stage_ls, inverse: bool, scale_scalar, pre_tw: int
+    fc: FieldConsts, m: int, stage_ls, inverse: bool, scale_scalar, pre_tw: int,
+    rows: int = LANE_BLOCK_ROWS,
 ):
     """pre_tw: 0 = no fused inter-step twiddle; 2 = (w_hi, w_lo) operands
     with on-the-fly companions; 4 = (w_hi, w_lo, wp_hi, wp_lo) operands.
@@ -724,10 +757,10 @@ def _lane_kernel(
                 return fc.mont_mul(v, w, U64(refs[2][:], refs[3][:]))
             return fc.mont_mul_full(v, w)
 
-        v = U64(xh_ref[:], xl_ref[:])  # (LANE_BLOCK_ROWS, m)
+        v = U64(xh_ref[:], xl_ref[:])  # (rows, m)
         if pre_tw and not inverse:
             v = apply_pre(v)
-        lane = jax.lax.broadcasted_iota(jnp.uint32, (LANE_BLOCK_ROWS, m), 1)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, m), 1)
         for s, l in enumerate(stage_ls):
             bit = (lane & jnp.uint32(l)) != 0
 
@@ -768,26 +801,27 @@ def _lane_kernel(
 
 @functools.lru_cache(maxsize=None)
 def _lane_call(
-    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, scale_scalar, pre_tw: int
+    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, scale_scalar,
+    pre_tw: int, rows: int = LANE_BLOCK_ROWS,
 ):
-    kernel = _lane_kernel(fc, m, stage_ls, inverse, scale_scalar, pre_tw)
+    kernel = _lane_kernel(fc, m, stage_ls, inverse, scale_scalar, pre_tw, rows)
     n_stages = len(stage_ls)
 
     @jax.jit
     def call(xh, xl, *rest):
         b = xh.shape[0]
         x_spec = pl.BlockSpec(
-            (LANE_BLOCK_ROWS, m), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (rows, m), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         tw_spec = pl.BlockSpec(
-            (n_stages, 4, LANE_BLOCK_ROWS, m),
+            (n_stages, 4, rows, m),
             lambda i: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         return pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((b, m), jnp.uint32)] * 2,
-            grid=(b // LANE_BLOCK_ROWS,),
+            grid=(b // rows,),
             in_specs=[x_spec, x_spec] + [x_spec] * pre_tw + [tw_spec],
             out_specs=[x_spec] * 2,
             interpret=_use_interpret(),
@@ -812,7 +846,8 @@ def fused_ntt_lane(
         raise ValueError(f"trailing axis {x.lo.shape[-1]} != transform length {m}")
     batch_shape = x.lo.shape[:-1]
     b = int(np.prod(batch_shape)) if batch_shape else 1
-    bp = _round_up(b, LANE_BLOCK_ROWS)
+    rows = getattr(tables, "rows", LANE_BLOCK_ROWS)
+    bp = _round_up(b, rows)
 
     def flat_pad(a):
         a = a.reshape(b, m)
@@ -830,7 +865,8 @@ def fused_ntt_lane(
         call = _lane_grouped_call(fc, m, tables.specs, tables.inverse, n_tw)
     else:
         call = _lane_call(
-            fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar, n_tw
+            fc, m, tables.stage_ls, tables.inverse, tables.scale_scalar, n_tw,
+            rows,
         )
     oh, ol = call(*args, tables.tw)
     if bp != b:
@@ -1008,7 +1044,10 @@ def _lane_grouped_call(
 
 
 @functools.lru_cache(maxsize=None)
-def _group_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool):
+def _group_call(
+    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool,
+    block_b: int = BLOCK_B,
+):
     """Build the jitted pallas_call for one stage group (cached per config)."""
     kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale)
     n_tw = 4 * len(stage_ls) + (4 if with_scale else 0)
@@ -1016,17 +1055,17 @@ def _group_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_sc
     @jax.jit
     def call(xh, xl, *tw_flat):
         b = xh.shape[1]
-        x_spec = pl.BlockSpec((m, BLOCK_B), lambda i: (0, i), memory_space=pltpu.VMEM)
+        x_spec = pl.BlockSpec((m, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
         w_spec = pl.BlockSpec(
-            (m // 2, BLOCK_B), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (m // 2, block_b), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((m, b), jnp.uint32)] * 2,
-            grid=(b // BLOCK_B,),
+            grid=(b // block_b,),
             in_specs=[x_spec, x_spec] + [w_spec] * n_tw,
             out_specs=[x_spec] * 2,
-            scratch_shapes=[pltpu.VMEM((m, BLOCK_B), jnp.uint32)] * 2,
+            scratch_shapes=[pltpu.VMEM((m, block_b), jnp.uint32)] * 2,
             interpret=_use_interpret(),
         )(xh, xl, *tw_flat)
 
@@ -1035,10 +1074,11 @@ def _group_call(fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_sc
 
 @functools.lru_cache(maxsize=None)
 def _mid_call(
-    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool
+    fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool,
+    block_b: int = BLOCK_B,
 ):
     """Jitted pallas_call for one stage group along the MIDDLE axis of a
-    (A, m, B) array, gridded over (A, B / BLOCK_B)."""
+    (A, m, B) array, gridded over (A, B / block_b)."""
     kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale, mid=True)
     n_tw = 4 * len(stage_ls) + (4 if with_scale else 0)
 
@@ -1046,18 +1086,18 @@ def _mid_call(
     def call(xh, xl, *tw_flat):
         a, _, b = xh.shape
         x_spec = pl.BlockSpec(
-            (1, m, BLOCK_B), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, m, block_b), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
         w_spec = pl.BlockSpec(
-            (m // 2, BLOCK_B), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            (m // 2, block_b), lambda i, j: (0, 0), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((a, m, b), jnp.uint32)] * 2,
-            grid=(a, b // BLOCK_B),
+            grid=(a, b // block_b),
             in_specs=[x_spec, x_spec] + [w_spec] * n_tw,
             out_specs=[x_spec] * 2,
-            scratch_shapes=[pltpu.VMEM((m, BLOCK_B), jnp.uint32)] * 2,
+            scratch_shapes=[pltpu.VMEM((m, block_b), jnp.uint32)] * 2,
             interpret=_use_interpret(),
         )(xh, xl, *tw_flat)
 
@@ -1080,7 +1120,7 @@ def fused_ntt_mid(x: U64, tables: FusedDirection, fc: FieldConsts) -> U64:
     a = x.lo.shape[0]
     batch_shape = x.lo.shape[2:]
     b = int(np.prod(batch_shape)) if batch_shape else 1
-    bp = _round_up(b, BLOCK_B)
+    bp = _round_up(b, tables.block_b)
     xh = x.hi.reshape(a, m, b)
     xl = x.lo.reshape(a, m, b)
     if bp != b:
@@ -1090,8 +1130,7 @@ def fused_ntt_mid(x: U64, tables: FusedDirection, fc: FieldConsts) -> U64:
 
     n = len(tables.stage_ls)
     groups = [
-        list(range(i, min(i + MAX_STAGES_PER_CALL, n)))
-        for i in range(0, n, MAX_STAGES_PER_CALL)
+        list(range(i, min(i + tables.spc, n))) for i in range(0, n, tables.spc)
     ]
     for g in groups:
         stage_ls = tuple(tables.stage_ls[s] for s in g)
@@ -1099,7 +1138,9 @@ def fused_ntt_mid(x: U64, tables: FusedDirection, fc: FieldConsts) -> U64:
         tw_flat = [arr for s in g for arr in tables.tw[s]]
         if with_scale:
             tw_flat += list(tables.scale)
-        call = _mid_call(fc, m, stage_ls, tables.inverse, with_scale)
+        call = _mid_call(
+            fc, m, stage_ls, tables.inverse, with_scale, tables.block_b
+        )
         xh, xl = call(xh, xl, *tw_flat)
 
     if bp != b:
@@ -1128,7 +1169,7 @@ def fused_ntt(x: U64, tables, fc: FieldConsts) -> U64:
         raise ValueError(f"leading axis {x.lo.shape[0]} != transform length {m}")
     batch_shape = x.lo.shape[1:]
     b = int(np.prod(batch_shape)) if batch_shape else 1
-    bp = _round_up(b, BLOCK_B)
+    bp = _round_up(b, tables.block_b)
     xh = x.hi.reshape(m, b)
     xl = x.lo.reshape(m, b)
     if bp != b:
@@ -1137,8 +1178,7 @@ def fused_ntt(x: U64, tables, fc: FieldConsts) -> U64:
 
     n = len(tables.stage_ls)
     groups = [
-        list(range(i, min(i + MAX_STAGES_PER_CALL, n)))
-        for i in range(0, n, MAX_STAGES_PER_CALL)
+        list(range(i, min(i + tables.spc, n))) for i in range(0, n, tables.spc)
     ]
     for g in groups:
         stage_ls = tuple(tables.stage_ls[s] for s in g)
@@ -1146,7 +1186,9 @@ def fused_ntt(x: U64, tables, fc: FieldConsts) -> U64:
         tw_flat = [a for s in g for a in tables.tw[s]]
         if with_scale:
             tw_flat += list(tables.scale)
-        call = _group_call(fc, m, stage_ls, tables.inverse, with_scale)
+        call = _group_call(
+            fc, m, stage_ls, tables.inverse, with_scale, tables.block_b
+        )
         xh, xl = call(xh, xl, *tw_flat)
 
     if bp != b:
