@@ -1,0 +1,279 @@
+"""Benchmark-driven per-config autotuner: measure-and-cache knob selection.
+
+The reference has no heuristics: every template parameter -- transpose
+class, shuffle stages, padding, block_rows, store_precomputation -- is
+chosen from a measured tuning corpus (reference
+tests/bench-transpose.cpp:105-499; README.md:26-27 "parameters below were
+obtained by benchmarking on Fugaku").  This module is the TPU-native
+equivalent for this framework's knobs:
+
+* ``engine``            -- jnp (pure XLA) vs pallas (fused VMEM kernels)
+* ``modmul``            -- montgomery vs shoup butterfly multiply
+* ``max_fused``         -- plan-tree shape (largest fused leaf)
+* ``block_b``           -- sublane/mid kernel lane-tile width
+* ``stages_per_call``   -- butterfly stages fused per pallas_call
+* ``lane_rows``         -- lane-kernel batch-rows block height
+
+all of which showed 20-40% measured spreads in round 1 (PERF_NOTES.md).
+
+``tune(config)`` runs a staged greedy search (engine x modmul first, then
+plan shape, then coordinate descent over the kernel knobs), timing each
+candidate with chained dependent calls on the real backend, and persists
+the winner keyed by (modulus, generator, n, backend, device kind) so later
+processes -- including ``NttConfig(..., tune=True)`` construction -- get
+the tuned knobs for free.  The cache file lives at the repo root
+(``autotune_cache.json``) so tuned parameters ship with the repo, the way
+the reference ships its Fugaku-derived constants in configuration headers.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from .config import NttConfig
+
+#: Environment override for the persistent cache location.
+CACHE_ENV = "SVENTT_TUNE_CACHE"
+
+_DEFAULT_CACHE = Path(__file__).resolve().parents[2] / "autotune_cache.json"
+
+#: Tunable fields copied from a search winner into the returned config.
+KNOB_FIELDS = (
+    "engine", "modmul", "max_fused", "block_b", "stages_per_call", "lane_rows"
+)
+
+
+def _cache_path(explicit: str | os.PathLike | None = None) -> Path:
+    if explicit is not None:
+        return Path(explicit)
+    return Path(os.environ.get(CACHE_ENV, _DEFAULT_CACHE))
+
+
+def _load_cache(path: Path) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_cache(path: Path, data: dict) -> None:
+    tmp = path.with_suffix(".tmp")
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+def _device_kind() -> str:
+    import jax
+
+    return jax.devices()[0].device_kind.replace(" ", "_")
+
+
+def cache_key(config: NttConfig) -> str:
+    return (
+        f"{config.modulus}:{config.generator}:{config.n}"
+        f":{_backend()}:{_device_kind()}"
+    )
+
+
+def _log(msg: str) -> None:
+    print(f"autotune: {msg}", file=sys.stderr, flush=True)
+
+
+def _time_candidate(config: NttConfig, iters: int, reps: int = 2) -> float:
+    """Chained-dependent-call timing of one candidate's forward transform.
+
+    Single-call timings through the axon tunnel carry a flat ~27 ms
+    completion poll (PERF_NOTES.md); ``iters`` dependent transforms inside
+    one block_until_ready amortize it away.  Returns best-of-``reps`` ms.
+    """
+    import jax
+
+    from ..field.limb import u64_from_numpy
+    from .wrapper import NTT
+
+    ntt = NTT(config, enable_inverse=False)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        u64_from_numpy(
+            rng.integers(0, config.modulus, config.n, dtype=np.uint64)
+        )
+    )
+    out = ntt.compute_forward(x)  # compile + warm-up
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        y = x
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = ntt.compute_forward(y)
+        jax.block_until_ready(y)
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    del ntt, x, out, y
+    gc.collect()
+    return best
+
+
+def _lazy_capable(config: NttConfig) -> bool:
+    if config.lazy is False:
+        return False
+    return config.mod.bit_width <= 62
+
+
+def _engine_candidates(config: NttConfig) -> list[str]:
+    if config.engine != "auto":
+        return [config.engine]
+    if _backend() != "tpu":
+        # interpret-mode pallas timings are meaningless; XLA only
+        return ["jnp"]
+    return ["jnp", "pallas"]
+
+
+def _modmul_candidates(config: NttConfig) -> list[str]:
+    if config.modmul != "auto":
+        return [config.modmul]
+    out = ["montgomery"]
+    if _lazy_capable(config):
+        out.append("shoup")
+    return out
+
+
+#: Per-knob candidate grids for the pallas kernel knobs (coordinate
+#: descent order).  512-wide fused leaves are excluded: Mosaic compile
+#: time blows up on the tail-stage unroll (ops/ntt_pallas.py MAX_FUSED).
+PLAN_GRID = (128, 256)
+KNOB_GRID = (
+    ("block_b", (128, 256, 512)),
+    ("stages_per_call", (3, 5, 8)),
+    ("lane_rows", (32, 64, 128)),
+)
+
+
+def search(
+    config: NttConfig, iters: int | None = None
+) -> tuple[NttConfig, dict[str, float]]:
+    """Staged greedy search; returns (winner, timings per candidate tag)."""
+    if iters is None:
+        # keep each measurement around a second of device time
+        iters = max(4, min(20, (1 << 27) // config.n))
+    base = config.with_(tune=False)
+    timings: dict[str, float] = {}
+
+    def timed(cfg: NttConfig, tag: str) -> float:
+        try:
+            ms = _time_candidate(cfg, iters)
+        except Exception as e:  # candidate failed to build/compile
+            _log(f"{tag}: FAILED ({type(e).__name__}: {e})")
+            ms = float("inf")
+        else:
+            _log(f"{tag}: {ms:.3f} ms")
+        timings[tag] = ms
+        return ms
+
+    # Stage A: engine x modmul on default knobs.
+    best, best_ms = None, float("inf")
+    for eng in _engine_candidates(base):
+        for mm in _modmul_candidates(base):
+            cand = base.with_(engine=eng, modmul=mm)
+            ms = timed(cand, f"{eng}/{mm}")
+            if ms < best_ms:
+                best, best_ms = cand, ms
+    if best is None:
+        raise RuntimeError("autotune: every candidate failed")
+
+    if best.engine != "pallas":
+        return best, timings
+
+    # Stage B: plan shape (largest fused leaf).  Only meaningful when the
+    # transform decomposes (n above the leaf size).
+    from ..ops.ntt_pallas import MAX_FUSED
+
+    for mf in PLAN_GRID:
+        if mf == (best.max_fused or MAX_FUSED) or config.n <= mf:
+            continue
+        cand = best.with_(max_fused=mf)
+        ms = timed(cand, f"max_fused={mf}")
+        if ms < best_ms:
+            best, best_ms = cand, ms
+
+    # Stage C: coordinate descent over the kernel knobs.
+    from ..ops.ntt_pallas import BLOCK_B, LANE_BLOCK_ROWS, MAX_STAGES_PER_CALL
+
+    defaults = {
+        "block_b": BLOCK_B,
+        "stages_per_call": MAX_STAGES_PER_CALL,
+        "lane_rows": LANE_BLOCK_ROWS,
+    }
+    for name, grid in KNOB_GRID:
+        current = getattr(best, name) or defaults[name]
+        for val in grid:
+            if val == current:
+                continue
+            cand = best.with_(**{name: val})
+            ms = timed(cand, f"{name}={val}")
+            if ms < best_ms:
+                best, best_ms = cand, ms
+
+    return best, timings
+
+
+def tune(
+    config: NttConfig,
+    *,
+    force: bool = False,
+    iters: int | None = None,
+    cache_path: str | os.PathLike | None = None,
+) -> NttConfig:
+    """Resolve ``config``'s knobs via the persistent measure-and-cache tuner.
+
+    Cache hit: returns immediately with the stored knobs.  Miss (or
+    ``force=True``): runs the staged search on the current backend, stores
+    the winner, returns it.  The returned config has ``tune=False`` so NTT
+    construction does not recurse.
+    """
+    path = _cache_path(cache_path)
+    key = cache_key(config)
+    data = _load_cache(path)
+    if not force and key in data:
+        knobs = data[key]["knobs"]
+        return config.with_(tune=False, **{k: knobs.get(k) for k in KNOB_FIELDS})
+
+    _log(f"tuning {key} (no cache entry)")
+    t0 = time.perf_counter()
+    best, timings = search(config, iters)
+    _log(f"winner {_tag(best)} in {time.perf_counter() - t0:.0f}s")
+    data[key] = {
+        "knobs": {k: getattr(best, k) for k in KNOB_FIELDS},
+        "timings": {
+            k: (None if v == float("inf") else round(v, 4))
+            for k, v in timings.items()
+        },
+        "best_ms": round(min(timings.values()), 4),
+    }
+    try:
+        _save_cache(path, data)
+    except OSError as e:
+        _log(f"cache write failed ({e}); continuing untuned-cache")
+    return best
+
+
+def _tag(cfg: NttConfig) -> str:
+    return (
+        f"{cfg.engine}/{cfg.modmul}"
+        f" max_fused={cfg.max_fused} block_b={cfg.block_b}"
+        f" spc={cfg.stages_per_call} rows={cfg.lane_rows}"
+    )

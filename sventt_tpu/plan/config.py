@@ -33,6 +33,13 @@ class NttConfig:
 
     ``engine`` selects the butterfly implementation: ``jnp`` (portable pure
     XLA) or ``pallas`` (fused VMEM kernels); ``auto`` picks pallas on TPU.
+
+    The kernel knobs (``block_b``, ``stages_per_call``, ``lane_rows``,
+    ``max_fused``) default to measured static heuristics; ``tune=True``
+    replaces them with values selected by the benchmark-driven autotuner
+    (plan/autotune.py) -- the TPU-native analogue of the reference choosing
+    every template parameter from its measured tuning corpus (reference
+    tests/bench-transpose.cpp:105-499, README.md:26-27).
     """
 
     modulus: int
@@ -48,6 +55,13 @@ class NttConfig:
     #: when the lazy range discipline allows it -- one fewer u64 multiply
     #: per butterfly).
     modmul: str = "auto"
+    #: Pallas kernel knobs (None = static defaults in ops/ntt_pallas.py).
+    block_b: int | None = None  # sublane/mid kernel lane-tile width
+    stages_per_call: int | None = None  # butterfly stages per pallas_call
+    lane_rows: int | None = None  # lane-kernel batch-rows block height
+    max_fused: int | None = None  # largest fused leaf in the plan tree
+    #: Resolve knobs via the measure-and-cache autotuner at NTT build time.
+    tune: bool = False
 
     # largest transform the iterative strategy handles before auto switches
     # to six-step (working set 16*n bytes vs ~16 MB VMEM, leave headroom)
@@ -68,6 +82,10 @@ class NttConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.modmul not in ("auto", "montgomery", "shoup"):
             raise ValueError(f"unknown modmul engine {self.modmul!r}")
+        for name in ("block_b", "stages_per_call", "lane_rows", "max_fused"):
+            v = getattr(self, name)
+            if v is not None and (v < 1 or (name != "stages_per_call" and not _is_pow2(v))):
+                raise ValueError(f"{name} must be a positive power of two, got {v}")
         if self.strategy == "six_step" or (
             self.strategy == "auto" and self.n > self.ITERATIVE_MAX
         ):

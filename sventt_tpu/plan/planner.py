@@ -115,11 +115,21 @@ class PlanTables:
     multi-hundred-MB tables of 2^24+ transforms out of the serialized HLO.
     """
 
-    def __init__(self, plan, mod: Modulus, fc: FieldConsts, inverse: bool):
+    def __init__(
+        self,
+        plan,
+        mod: Modulus,
+        fc: FieldConsts,
+        inverse: bool,
+        block_b: int | None = None,
+        spc: int | None = None,
+        rows: int | None = None,
+    ):
         self.plan = plan
         self.mod = mod
         self.fc = fc
         self.inverse = inverse
+        self.knobs = (block_b, spc, rows)  # autotunable kernel knobs
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
@@ -128,7 +138,7 @@ class PlanTables:
     @classmethod
     def _unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.plan, obj.mod, obj.fc, obj.inverse = aux
+        obj.plan, obj.mod, obj.fc, obj.inverse, obj.knobs = aux
         obj.leaf, obj.lane, obj.split_tw = children
         return obj
 
@@ -138,8 +148,10 @@ class PlanTables:
                 return
             modmul = self.fc.modmul
             if node.engine == "pallas":
+                block_b, spc, _ = self.knobs
                 t = ntt_pallas.make_leaf_tables(
-                    self.mod, node.m, inverse=self.inverse, modmul=modmul
+                    self.mod, node.m, inverse=self.inverse, modmul=modmul,
+                    block_b=block_b, spc=spc,
                 )
             elif self.inverse:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)
@@ -154,7 +166,8 @@ class PlanTables:
                 )
             if _lane_row(node) and node.m1 not in self.lane:
                 self.lane[node.m1] = ntt_pallas.make_lane_tables(
-                    self.mod, node.m1, inverse=self.inverse, modmul=self.fc.modmul
+                    self.mod, node.m1, inverse=self.inverse,
+                    modmul=self.fc.modmul, rows=self.knobs[2],
                 )
             self._prepare(node.col)
             self._prepare(node.row)
@@ -162,7 +175,10 @@ class PlanTables:
 
 jax.tree_util.register_pytree_node(
     PlanTables,
-    lambda t: ((t.leaf, t.lane, t.split_tw), (t.plan, t.mod, t.fc, t.inverse)),
+    lambda t: (
+        (t.leaf, t.lane, t.split_tw),
+        (t.plan, t.mod, t.fc, t.inverse, t.knobs),
+    ),
     PlanTables._unflatten,
 )
 

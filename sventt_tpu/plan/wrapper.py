@@ -78,6 +78,10 @@ class NTT:
         """``donate_input=True`` donates the input buffers to XLA (the
         caller's array is invalidated) -- halves peak HBM for huge
         transforms (2^28 single-chip needs it)."""
+        if config.tune:
+            from .autotune import tune
+
+            config = tune(config)
         self.config = config
         self.mod = config.mod
         self.fc = FieldConsts.from_modulus(
@@ -88,9 +92,13 @@ class NTT:
         self._fwd = self._inv = None
         plan = self.plan
         donate = (0,) if donate_input else ()
+        cfg = self.config
+        knobs = dict(
+            block_b=cfg.block_b, spc=cfg.stages_per_call, rows=cfg.lane_rows
+        )
         if enable_forward:
             self._fwd_tables = planner.PlanTables(
-                plan, self.mod, self.fc, inverse=False
+                plan, self.mod, self.fc, inverse=False, **knobs
             )
             # Tables are jit ARGUMENTS (PlanTables is a pytree): closing over
             # them would bake hundreds of MB of twiddles into the HLO.
@@ -99,7 +107,7 @@ class NTT:
             )
         if enable_inverse:
             self._inv_tables = planner.PlanTables(
-                plan, self.mod, self.fc, inverse=True
+                plan, self.mod, self.fc, inverse=True, **knobs
             )
             self._inv = jax.jit(
                 lambda x, t: planner.run_inverse(x, plan, t), donate_argnums=donate
@@ -109,7 +117,7 @@ class NTT:
         cfg = self.config
         if cfg.strategy == "auto":
             # Planner picks the factorization (fewest near-equal levels).
-            return planner.build_plan(cfg.n, self.engine)
+            return planner.build_plan(cfg.n, self.engine, cfg.max_fused)
         if cfg.resolved_strategy == "iterative":
             return planner.Leaf(cfg.n, self.engine)
         n0, n1 = cfg.split
@@ -117,8 +125,8 @@ class NTT:
             cfg.n,
             n0,
             n1,
-            planner.build_plan(n0, self.engine),
-            planner.build_plan(n1, self.engine),
+            planner.build_plan(n0, self.engine, cfg.max_fused),
+            planner.build_plan(n1, self.engine, cfg.max_fused),
         )
 
     # -- public API -----------------------------------------------------------

@@ -1,0 +1,133 @@
+"""Autotuner mechanics: knob plumbing, staged search, persistent cache.
+
+The search's TIMING quality can only be judged on real hardware (the tuner
+is exercised there by benchmarks/bench_autotune.py); these tests pin the
+machinery: candidate enumeration, winner selection, cache round-trip, and
+that tuned knobs actually reach the kernels and stay bit-exact.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from sventt_tpu import TEST_GENERATOR, TEST_MODULUS, GoldenNTT, Modulus
+from sventt_tpu.plan import NTT, NttConfig, autotune
+
+
+def _cfg(n=1 << 10, **kw):
+    return NttConfig(TEST_MODULUS, TEST_GENERATOR, n, **kw)
+
+
+def test_knob_fields_validate():
+    _cfg(block_b=128, stages_per_call=3, lane_rows=32, max_fused=128)
+    with pytest.raises(ValueError):
+        _cfg(block_b=100)
+    with pytest.raises(ValueError):
+        _cfg(lane_rows=-8)
+
+
+def test_knobs_reach_kernels_bit_exact(rng):
+    """Non-default knobs through the full NTT wrapper stay bit-exact."""
+    n = 1 << 8
+    cfg = _cfg(
+        n, engine="pallas", strategy="six_step", n0=16, n1=16,
+        block_b=128, stages_per_call=2, lane_rows=16, max_fused=16,
+    )
+    ntt = NTT(cfg)
+    mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
+    x = rng.integers(0, TEST_MODULUS, n, dtype=np.uint64)
+    out = ntt.forward_numpy(x)
+    want = GoldenNTT(n, mod).forward(list(map(int, x)))
+    assert list(map(int, out)) == want
+    assert (ntt.inverse_numpy(out) == x).all()
+    # knobs actually reached the prepared tables
+    leaf = ntt._fwd_tables.leaf[16]
+    assert leaf.block_b == 128 and leaf.spc == 2
+
+
+def test_tune_cpu_picks_jnp_and_caches(tmp_path, monkeypatch):
+    """On the CPU backend the tuner only races XLA candidates (interpret-
+    mode pallas timings are meaningless) and persists its winner."""
+    cache = tmp_path / "tune.json"
+    monkeypatch.setattr(autotune, "_time_candidate", lambda cfg, iters, reps=2: 1.0)
+    cfg = _cfg(1 << 10, tune=True)
+    tuned = autotune.tune(cfg, cache_path=cache)
+    assert tuned.tune is False
+    assert tuned.engine == "jnp"
+    assert tuned.modmul in ("montgomery", "shoup")
+    data = json.loads(cache.read_text())
+    [entry] = data.values()
+    assert entry["knobs"]["engine"] == "jnp"
+
+    # second call must hit the cache, never the search
+    def boom(*a, **k):
+        raise AssertionError("search ran on a cache hit")
+
+    monkeypatch.setattr(autotune, "search", boom)
+    tuned2 = autotune.tune(cfg, cache_path=cache)
+    assert tuned2 == tuned
+
+
+def test_staged_search_selects_measured_minimum(monkeypatch):
+    """Force a pallas candidate space with a synthetic cost model and check
+    greedy coordinate descent lands on the cost minimum."""
+    monkeypatch.setattr(autotune, "_engine_candidates", lambda cfg: ["pallas"])
+    monkeypatch.setattr(
+        autotune, "_modmul_candidates", lambda cfg: ["montgomery", "shoup"]
+    )
+
+    def fake_time(cfg, iters, reps=2):
+        cost = 10.0
+        if cfg.modmul == "shoup":
+            cost -= 1.0
+        if cfg.max_fused == 128:
+            cost -= 0.5
+        if cfg.block_b == 512:
+            cost -= 0.25
+        if cfg.stages_per_call == 3:
+            cost -= 0.25
+        if cfg.lane_rows == 128:
+            cost -= 0.125
+        return cost
+
+    monkeypatch.setattr(autotune, "_time_candidate", fake_time)
+    best, timings = autotune.search(_cfg(1 << 12, engine="pallas"))
+    assert best.modmul == "shoup"
+    assert best.max_fused == 128
+    assert best.block_b == 512
+    assert best.stages_per_call == 3
+    assert best.lane_rows == 128
+    # stage A raced both modmuls, stages B/C walked every grid value once
+    assert "pallas/montgomery" in timings and "pallas/shoup" in timings
+
+
+def test_search_survives_failing_candidates(monkeypatch):
+    monkeypatch.setattr(autotune, "_engine_candidates", lambda cfg: ["pallas"])
+    monkeypatch.setattr(
+        autotune, "_modmul_candidates", lambda cfg: ["montgomery", "shoup"]
+    )
+
+    def flaky(cfg, iters, reps=2):
+        if cfg.modmul == "shoup" or cfg.block_b == 512:
+            raise RuntimeError("compile blew up")
+        return 5.0
+
+    monkeypatch.setattr(autotune, "_time_candidate", flaky)
+    best, timings = autotune.search(_cfg(1 << 12, engine="pallas"))
+    assert best.modmul == "montgomery"
+    assert best.block_b != 512
+    assert timings["pallas/shoup"] == float("inf")
+
+
+def test_tune_true_resolves_via_wrapper(tmp_path, monkeypatch):
+    """NTT(NttConfig(..., tune=True)) transparently builds with tuned knobs."""
+    monkeypatch.setenv(autotune.CACHE_ENV, str(tmp_path / "t.json"))
+    monkeypatch.setattr(autotune, "_time_candidate", lambda cfg, iters, reps=2: 1.0)
+    ntt = NTT(_cfg(1 << 10, tune=True))
+    assert ntt.config.tune is False
+    assert ntt.config.engine == "jnp"
+    x = np.arange(1 << 10, dtype=np.uint64)
+    out = ntt.forward_numpy(x)
+    assert int(out[0]) == int(x.astype(object).sum() % TEST_MODULUS)
+    assert (ntt.inverse_numpy(out) == x).all()
