@@ -68,6 +68,12 @@ class DistributedNTT:
     the combined axis and the collectives run over both tiers, with XLA
     routing the intra-slice fraction over ICI.  Order the faster tier LAST
     so neighboring shards live on the same slice.
+
+    ``comm`` selects the all-to-all implementation: ``"xla"`` (the
+    `lax.all_to_all` collective) or ``"ring"`` (the Pallas remote-DMA
+    rotation ring, parallel/ring.py -- SURVEY.md section 2.5.5's optimized
+    path).  Both are bit-identical; the ring requires the mesh to consist
+    of exactly the collective axes (LOGICAL RDMA ids linearize them).
     """
 
     def __init__(
@@ -77,6 +83,7 @@ class DistributedNTT:
         axis: str | tuple[str, ...] = AXIS,
         enable_forward: bool = True,
         enable_inverse: bool = True,
+        comm: str = "xla",
     ):
         n0, n1 = config.split
         axes = (axis,) if isinstance(axis, str) else tuple(axis)
@@ -85,9 +92,18 @@ class DistributedNTT:
             D *= mesh.shape[a]
         if n0 % D or n1 % D:
             raise ValueError(f"n0={n0}, n1={n1} must be divisible by mesh size {D}")
+        if comm not in ("xla", "ring"):
+            raise ValueError(f"unknown comm {comm!r}")
+        if comm == "ring" and (tuple(mesh.axis_names) != axes or len(axes) != 1):
+            raise ValueError(
+                "comm='ring' needs a 1-D mesh whose single axis is the "
+                f"collective axis (mesh {mesh.axis_names}, axes {axes}); "
+                "hierarchical meshes use comm='xla'"
+            )
         self.config = config
         self.mesh = mesh
         self.axes = axes
+        self.comm = comm
         self.D = D
         self.n0, self.n1 = n0, n1
         mod = config.mod
@@ -107,6 +123,11 @@ class DistributedNTT:
         tw = P(None, axes)
         rep = P()  # sub-transform tables are replicated on every chip
         tw_sharding = NamedSharding(mesh, P(None, axes))
+        # check_vma must be off for the ring path: vma tracking cannot type
+        # a pallas_call whose inputs already vary over the mesh axes.
+        smap = dict(mesh=mesh, in_specs=(flat, tw, rep, rep), out_specs=flat)
+        if comm == "ring":
+            smap["check_vma"] = False
         if enable_forward:
             self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)
             self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
@@ -115,12 +136,7 @@ class DistributedNTT:
                 row_twiddles(mod, n0, n1, inverse=False), tw_sharding
             )
             self._forward = jax.jit(
-                jax.shard_map(
-                    self._forward_local,
-                    mesh=mesh,
-                    in_specs=(flat, tw, rep, rep),
-                    out_specs=flat,
-                )
+                jax.shard_map(self._forward_local, **smap)
             )
         if enable_inverse:
             self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
@@ -129,12 +145,7 @@ class DistributedNTT:
                 row_twiddles(mod, n0, n1, inverse=True), tw_sharding
             )
             self._inverse = jax.jit(
-                jax.shard_map(
-                    self._inverse_local,
-                    mesh=mesh,
-                    in_specs=(flat, tw, rep, rep),
-                    out_specs=flat,
-                )
+                jax.shard_map(self._inverse_local, **smap)
             )
 
     # -- public API ---------------------------------------------------------
@@ -161,6 +172,13 @@ class DistributedNTT:
             return self.fc.mont_mul_full(mat, w)
         return self.fc.mont_mul(mat, w, wp)
 
+    def _all_to_all(self, x: U64, split_axis: int, concat_axis: int) -> U64:
+        if self.comm == "ring":
+            from .ring import ring_all_to_all
+
+            return ring_all_to_all(x, self.axes, split_axis, concat_axis)
+        return _all_to_all(x, self.axes, split_axis, concat_axis)
+
     # -- local (per-shard) schedules ---------------------------------------
 
     def _forward_local(self, x: U64, tw, col_tables, row_tables) -> U64:
@@ -169,12 +187,12 @@ class DistributedNTT:
         w, wp = tw  # local (n0, n1/D) each
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         # [comm 1] row shards -> column shards: (n0/D, n1) -> (n0, n1/D)
-        mat = _all_to_all(mat, self.axes, split_axis=1, concat_axis=0)
+        mat = self._all_to_all(mat, split_axis=1, concat_axis=0)
         # column NTTs: full leading axis n0 is local
         mat = planner.run_forward(mat, self._col_plan, col_tables)
         mat = self._tw_mul(mat, w, wp)
         # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
-        mat = _all_to_all(mat, self.axes, split_axis=0, concat_axis=1)
+        mat = self._all_to_all(mat, split_axis=0, concat_axis=1)
         mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
         # row NTTs: full leading axis n1 is local
         mat = planner.run_forward(mat, self._row_plan, row_tables)
@@ -191,9 +209,9 @@ class DistributedNTT:
         mat = planner.run_inverse(mat, self._row_plan, row_tables)
         mat = _transpose01(mat)  # (n0/D, n1)
         # undo [comm 2]
-        mat = _all_to_all(mat, self.axes, split_axis=1, concat_axis=0)
+        mat = self._all_to_all(mat, split_axis=1, concat_axis=0)
         mat = self._tw_mul(mat, w, wp)  # undo twiddles
         mat = planner.run_inverse(mat, self._col_plan, col_tables)
         # undo [comm 1]: column shards -> row shards
-        mat = _all_to_all(mat, self.axes, split_axis=0, concat_axis=1)
+        mat = self._all_to_all(mat, split_axis=0, concat_axis=1)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)
