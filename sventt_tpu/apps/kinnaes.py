@@ -42,10 +42,15 @@ def _small_primes(limit: int):
     return np.flatnonzero(sieve)
 
 
-def kinnaes_parameters(m: int, bits: int = 62) -> tuple[int, int, int]:
+def kinnaes_parameters(m: int, bits: int = 62, skip: int = 0) -> tuple[int, int, int]:
     """(N, generator, n) for the closed form: n odd with every prime factor
     > m (so the denominator products never vanish at any n-th root of unity
     with j != 0), n > r for exactness, and N = k*n + 1 prime.
+
+    ``skip`` returns the (skip+1)-th prime below 2^bits (descending), so a
+    test matrix can collect several independent moduli per width -- the way
+    the reference's generated matrix has two primes per width
+    (reference test-magic-series-kinnaes.cpp:20-65).
 
     Role of reference generate-parameters.py (sympy) in pure Python: the
     reference likewise scans n in (r, 2r) requiring min prime factor > m,
@@ -60,14 +65,16 @@ def kinnaes_parameters(m: int, bits: int = 62) -> tuple[int, int, int]:
         if all(n % int(p) for p in primes):
             break
         n += 2
-    # Largest prime N = k*n + 1 below 2^bits.
+    # Largest primes N = k*n + 1 below 2^bits, descending.
     from ..field.modulus import find_generator, is_probable_prime
 
     k = ((1 << bits) - 2) // n
     while k > 0:
         N = k * n + 1
         if is_probable_prime(N):
-            return N, find_generator(N), n
+            if skip == 0:
+                return N, find_generator(N), n
+            skip -= 1
         k -= 1
     raise ValueError("no prime found")
 

@@ -89,11 +89,58 @@ def test_gaussian_binomial_limit_is_binomial():
     assert got == [1, 1, 2, 1, 1]
 
 
+#: The reference exercises its pipeline over 8 moduli spanning widths and
+#: structures (test-magic-series.cpp:22-39); the equivalent matrix here:
+#: Goldilocks with two generators, the 64-bit flagship, independently
+#: generated 63/61/60-bit NTT primes, the 62-bit test modulus, and the
+#: Fermat prime F4 = 2^16 + 1 (whose tiny width stresses the generic
+#: width handling).
+MODULI_MATRIX = [
+    (0xFFFF_FFFF_0000_0001, 7),  # Goldilocks, smallest generator
+    (0xFFFF_FFFF_0000_0001, 823543),  # Goldilocks, non-smallest generator
+    (0xFFFF_FC6E_8000_0001, 3),  # 64-bit flagship
+    (0x7FFF_FFFF_FEF0_0001, 10),  # generated 63-bit
+    (0x3A00_0000_0000_0001, 3),  # 62-bit test modulus
+    (0x1FFF_FFFF_FFE0_0001, 37),  # generated 61-bit
+    (0x0FFF_FFFF_FE40_0001, 17),  # generated 60-bit
+    (0x0000_0000_0001_0001, 3),  # Fermat prime F4
+]
+
+
+@pytest.mark.parametrize("Nm,g", MODULI_MATRIX)
+def test_magic_series_moduli_matrix(Nm, g):
+    """M(5) and M(6) through the full NTT pipeline on every matrix modulus
+    (counts fit even F4, so every result is exact)."""
+    assert magic_series_count(5, Nm, g) == MAGIC_SERIES[5]
+    assert magic_series_count(6, Nm, g) == 32134  # OEIS A052456
+
+
 @pytest.mark.parametrize("m", [3, 4])
 def test_kinnaes_host_and_device(m):
     Np, g, n = kinnaes_parameters(m, bits=61)
     assert kinnaes_magic_series_count_host(m, Np, g, n) == MAGIC_SERIES[m]
     assert kinnaes_magic_series_count(m, Np, g, n) == MAGIC_SERIES[m]
+
+
+def test_kinnaes_device_mid_scale():
+    """m = 12 (r = 792, n/2 = 397 lanes): the device path at a scale where
+    the lane layout, powering, and reduction tree all have real depth;
+    checked against the independent host closed form AND the NTT pipeline
+    count (M(12) ~ 1.6e12 fits a 61-bit modulus exactly)."""
+    m = 12
+    Np, g, n = kinnaes_parameters(m, bits=61)
+    dev = kinnaes_magic_series_count(m, Np, g, n)
+    assert dev == kinnaes_magic_series_count_host(m, Np, g, n)
+    assert dev == magic_series_count(m, N, G)  # exact: M(12) < both moduli
+
+
+@pytest.mark.parametrize("skip", [0, 1])
+def test_kinnaes_parameters_skip(skip):
+    Np, g, n = kinnaes_parameters(6, bits=61, skip=skip)
+    assert (Np - 1) % n == 0 and n == 91
+    if skip:
+        N0, _, _ = kinnaes_parameters(6, bits=61, skip=0)
+        assert Np < N0
 
 
 @pytest.mark.parametrize("m", [6, 8])
