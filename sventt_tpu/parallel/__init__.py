@@ -7,7 +7,14 @@ coefficient vector is row-sharded over a `jax.sharding.Mesh` and the six-step
 transposes ride ICI as `jax.lax.all_to_all` collectives.
 """
 
+from .budget import MemoryBudget, distributed_memory_budget, validate_2p30
 from .mesh import make_ntt_mesh
 from .sixstep import DistributedNTT
 
-__all__ = ["make_ntt_mesh", "DistributedNTT"]
+__all__ = [
+    "make_ntt_mesh",
+    "DistributedNTT",
+    "MemoryBudget",
+    "distributed_memory_budget",
+    "validate_2p30",
+]

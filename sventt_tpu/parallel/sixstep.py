@@ -123,11 +123,13 @@ class DistributedNTT:
         tw = P(None, axes)
         rep = P()  # sub-transform tables are replicated on every chip
         tw_sharding = NamedSharding(mesh, P(None, axes))
-        # check_vma must be off for the ring path: vma tracking cannot type
-        # a pallas_call whose inputs already vary over the mesh axes.
-        smap = dict(mesh=mesh, in_specs=(flat, tw, rep, rep), out_specs=flat)
-        if comm == "ring":
-            smap["check_vma"] = False
+        # check_vma must be off: vma tracking cannot type a pallas_call
+        # whose inputs already vary over the mesh axes (jax 0.9), and both
+        # the ring collective and fused pallas leaf kernels are such calls.
+        smap = dict(
+            mesh=mesh, in_specs=(flat, tw, rep, rep), out_specs=flat,
+            check_vma=False,
+        )
         if enable_forward:
             self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)
             self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
