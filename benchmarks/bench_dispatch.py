@@ -1,0 +1,118 @@
+"""Small-transform dispatch-floor diagnosis (round-1 VERDICT task 7).
+
+2^10-2^13 transforms bottom out at ~1.5 ms/call even chained, ~500x below
+the 2^24 butterfly rate.  Hypotheses probed here, each as one JSON row:
+
+1. operand-count cost: a trivial jitted op with K array arguments, K swept
+   over the range the jnp engine actually uses (12 stages x 8 limb planes
+   at 2^12 = ~100 operands);
+2. packed tables: the same NTT compute with all stage twiddles packed into
+   ONE device buffer (static offsets) vs per-stage operands;
+3. baked tables: twiddles closed over by jit (HLO constants).
+
+Usage: python benchmarks/bench_dispatch.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.common import chain_time_ms, emit, log
+from sventt_tpu import TEST_GENERATOR, TEST_MODULUS
+from sventt_tpu.field.limb import FieldConsts, U64, u64_from_numpy
+from sventt_tpu.field.modulus import Modulus
+from sventt_tpu.ops.ntt_jnp import ntt_forward
+from sventt_tpu.ops.twiddle import forward_tables
+
+
+def probe_operand_count() -> None:
+    """Cost of K extra array operands on a trivial chained dispatch."""
+    x = jax.device_put(jnp.zeros((4096,), jnp.uint32))
+    for k in (0, 8, 24, 48, 96):
+        ops = [jax.device_put(jnp.full((16,), i, jnp.uint32)) for i in range(k)]
+
+        @jax.jit
+        def f(x, *ops):
+            acc = x
+            for o in ops:
+                acc = acc + o[0]  # force each operand live
+            return acc
+
+        ms = chain_time_ms(lambda s: f(s, *ops), x, iters=50)
+        emit({"metric": "dispatch_k_operands", "k": k, "ms": round(ms, 4)})
+
+
+def _pack_tables(tabs):
+    """Concatenate every stage plane into one u32 buffer + static offsets."""
+    parts, offsets, off = [], [], 0
+    for pair in tabs.stages:
+        for a in (pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo):
+            a = np.asarray(a)
+            parts.append(a)
+            offsets.append((off, a.shape[0]))
+            off += a.shape[0]
+    return jnp.asarray(np.concatenate(parts)), tuple(offsets)
+
+
+def probe_ntt_variants(log2n: int) -> None:
+    n = 1 << log2n
+    mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
+    fc = FieldConsts.from_modulus(mod)
+    tabs = forward_tables(mod, n)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        u64_from_numpy(rng.integers(0, mod.modulus, n, dtype=np.uint64))
+    )
+
+    f_args = jax.jit(lambda v, t: ntt_forward(v, t, fc))
+    ms = chain_time_ms(lambda s: f_args(s, tabs), x, iters=50)
+    emit({"metric": f"ntt_2p{log2n}_per_stage_operands", "ms": round(ms, 4)})
+
+    packed, offsets = _pack_tables(tabs)
+    stage_ls = tuple(pair.w.lo.shape[0] for pair in tabs.stages)
+
+    from sventt_tpu.ops.twiddle import MontPair
+
+    def unpack(buf):
+        planes = [
+            jax.lax.dynamic_slice(buf, (o,), (ln,)) for o, ln in offsets
+        ]
+        pairs = []
+        for s in range(len(stage_ls)):
+            w = U64(planes[4 * s], planes[4 * s + 1])
+            wp = U64(planes[4 * s + 2], planes[4 * s + 3])
+            pairs.append(MontPair(w, wp))
+        return pairs
+
+    class PackedTables:
+        def __init__(self, stages, m):
+            self.stages = stages
+            self.m = m
+
+    f_packed = jax.jit(
+        lambda v, buf: ntt_forward(v, PackedTables(unpack(buf), n), fc)
+    )
+    ms = chain_time_ms(lambda s: f_packed(s, packed), x, iters=50)
+    emit({"metric": f"ntt_2p{log2n}_packed_tables", "ms": round(ms, 4)})
+
+    f_baked = jax.jit(lambda v: ntt_forward(v, tabs, fc))
+    ms = chain_time_ms(lambda s: f_baked(s), x, iters=50)
+    emit({"metric": f"ntt_2p{log2n}_baked_tables", "ms": round(ms, 4)})
+
+
+def main() -> None:
+    log("bench_dispatch: operand-count probe")
+    probe_operand_count()
+    for log2n in (10, 12, 15):
+        log(f"bench_dispatch: ntt variants 2^{log2n}")
+        probe_ntt_variants(log2n)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,3 +152,39 @@ def test_three_way_cross_check(m):
     assert magic_series_count(m, N, G) == exact % N
     Np, g, n = kinnaes_parameters(m, bits=61)
     assert kinnaes_magic_series_count_host(m, Np, g, n) == exact % Np
+
+
+#: Exact magic-series counts at the reference's test scale, computed and
+#: verified by examples/magic_series_reference_scale.py (2026-08-17, TPU
+#: v5 lite): NTT-pipeline residues CRT-combined over 17 independently
+#: generated 62-bit NTT primes, checked against 2 held-out moduli, then
+#: confirmed by the device Kinnaes closed form over an 8-config
+#: (width 64..61 x 2 primes) matrix per order -- the reference validates
+#: the same orders (test-magic-series-kinnaes.cpp:20-98).
+M100 = int(
+    "9043007368088944265747933022406939112612349423987481545280521717243052"
+    "7904558345986101135781355626074636685064666906216989017828082488599537"
+    "5485156399921958991796250954308603011799192842071430359668946052264146"
+    "938445899732873114858199920"
+)
+M101 = int(
+    "6517428685211505994232177388427365631933896727256173046091895410609480"
+    "7534843021101708794185168653839829071357636233748162115685478414828310"
+    "4866179994202618028615736621185423913319338987817995082551755913561634"
+    "157004344784632798600635226832"
+)
+
+
+@pytest.mark.parametrize("m,exact", [(100, M100), (101, M101)])
+def test_kinnaes_reference_scale(m, exact):
+    """Device Kinnaes at the reference's m = 100/101 scale (n/2 ~ 250k
+    lanes, m-deep product loop) against the independently reconstructed
+    exact counts."""
+    Np, g, n = kinnaes_parameters(m, bits=62)
+    assert kinnaes_magic_series_count(m, Np, g, n) == exact % Np
+
+
+def test_pipeline_reference_scale_m100():
+    """The NTT convolution pipeline at m = 100 (r = 495,000 -> 2^20-point
+    convolution) against the reconstructed exact count."""
+    assert magic_series_count(100, N, G) == M100 % N
