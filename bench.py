@@ -60,6 +60,11 @@ def main() -> None:
     n = 1 << log2n
 
     cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, n)
+    # Apply autotuned knobs when this (config, device) was tuned before
+    # (autotune_cache.json ships with the repo); never tune inside a bench.
+    from sventt_tpu.plan.autotune import tune
+
+    cfg = tune(cfg, on_miss="skip")
     ntt = NTT(cfg, enable_inverse=False)
     print(
         f"bench: n=2^{log2n} plan={ntt.plan} platform={jax.devices()[0].platform}",
@@ -70,11 +75,27 @@ def main() -> None:
     x = u64_from_numpy(rng.integers(0, cfg.modulus, n, dtype=np.uint64))
     x = jax.device_put(x)
 
-    # Warm-up (compile) + correctness spot check vs the DFT definition.
+    # Warm-up (compile).  NOTE ORDER: all timing happens BEFORE any
+    # device-to-host readback -- the first D2H permanently degrades the
+    # axon tunnel's dispatch path by ~1.5 ms/call (measured, PERF_NOTES.md
+    # round 2), so verification runs after the clocks stop.
     t0 = time.perf_counter()
     out = ntt.compute_forward(x)
     jax.block_until_ready(out)
     print(f"bench: compile+first run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # Roofline calibration (chained adds, no D2H) in the same clean state.
+    hbm_gbps = _hbm_gbps()
+
+    # Chained dependent calls inside one block: single-call timings through
+    # the axon tunnel carry a flat ~27 ms completion-poll latency.
+    chain = max(iters, 10)
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(chain):
+        y = ntt.compute_forward(y)
+    jax.block_until_ready(y)
+    ms = (time.perf_counter() - t0) / chain * 1e3
 
     from sventt_tpu import native
     from sventt_tpu.field.limb import u64_to_numpy
@@ -93,18 +114,8 @@ def main() -> None:
         assert int(outv[0]) == want0, "correctness check failed"
         print("bench: X[0] matches DFT definition", file=sys.stderr)
 
-    # Chained dependent calls inside one block: single-call timings through
-    # the axon tunnel carry a flat ~27 ms completion-poll latency.
-    chain = max(iters, 10)
-    y = x
-    t0 = time.perf_counter()
-    for _ in range(chain):
-        y = ntt.compute_forward(y)
-    jax.block_until_ready(y)
-    ms = (time.perf_counter() - t0) / chain * 1e3
-
     bytes_per_pass = 2 * 16 * n  # read + write, 16 B/point (2x u32 limb pairs)
-    roofline_ms = 4 * bytes_per_pass / (_hbm_gbps() * 1e9) * 1e3
+    roofline_ms = 4 * bytes_per_pass / (hbm_gbps * 1e9) * 1e3
     print(
         json.dumps(
             {

@@ -72,39 +72,59 @@ def verify(ntt: NTT, x: np.ndarray, fwd_dev: U64) -> bool:
     return True
 
 
-def main() -> None:
-    quick = "--quick" in sys.argv
+def run_config(name: str) -> None:
+    """Time-then-verify one config (run in its own process: the first
+    device-to-host readback permanently degrades the tunnel's dispatch
+    path by ~1.5 ms/call, so timing must precede ANY verification and
+    every config needs a fresh process -- PERF_NOTES.md round 2)."""
     rng = np.random.default_rng(0)
-    for name, log2n, N, g, engine, modmul in CONFIGS:
+    [(name, log2n, N, g, engine, modmul)] = [c for c in CONFIGS if c[0] == name]
+    n = 1 << log2n
+    cfg = NttConfig(N, g, n, engine=engine, modmul=modmul)
+    log(f"bench_ntt: {name} ...")
+    ntt = NTT(cfg)
+    x = rng.integers(0, N, n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x))
+
+    fwd = ntt.compute_forward(xd)  # warm-up / compile (no readback)
+    jax.block_until_ready(fwd)
+    jax.block_until_ready(ntt.compute_inverse(fwd))
+
+    iters = 20 if log2n <= 20 else 8
+    ms_f = chain_time_ms(lambda s: ntt.compute_forward(s), xd, iters)
+    ms_i = chain_time_ms(lambda s: ntt.compute_inverse(s), fwd, iters)
+    ok = verify(ntt, x, fwd)  # D2H happens only after the clocks stop
+    bfly = n * log2n / 2
+    for direction, ms in (("forward", ms_f), ("inverse", ms_i)):
+        emit(
+            {
+                "config": name,
+                "n": n,
+                "engine": ntt.engine,
+                "modmul": ntt.fc.modmul,
+                "direction": direction,
+                "ms": round(ms, 4),
+                "gbutterfly_s": round(bfly / ms / 1e6, 3),
+                "verified": ok,
+            }
+        )
+
+
+def main() -> None:
+    if "--config" in sys.argv:
+        run_config(sys.argv[sys.argv.index("--config") + 1])
+        return
+    import subprocess
+
+    quick = "--quick" in sys.argv
+    for name, *_ in CONFIGS:
         if quick and name not in QUICK:
             continue
-        n = 1 << log2n
-        cfg = NttConfig(N, g, n, engine=engine, modmul=modmul)
-        log(f"bench_ntt: {name} ...")
-        ntt = NTT(cfg)
-        x = rng.integers(0, N, n, dtype=np.uint64)
-        xd = jax.device_put(u64_from_numpy(x))
-
-        fwd = ntt.compute_forward(xd)
-        ok = verify(ntt, x, fwd)
-
-        iters = 20 if log2n <= 20 else 8
-        ms_f = chain_time_ms(lambda s: ntt.compute_forward(s), xd, iters)
-        ms_i = chain_time_ms(lambda s: ntt.compute_inverse(s), fwd, iters)
-        bfly = n * log2n / 2
-        for direction, ms in (("forward", ms_f), ("inverse", ms_i)):
-            emit(
-                {
-                    "config": name,
-                    "n": n,
-                    "engine": ntt.engine,
-                    "modmul": ntt.fc.modmul,
-                    "direction": direction,
-                    "ms": round(ms, 4),
-                    "gbutterfly_s": round(bfly / ms / 1e6, 3),
-                    "verified": ok,
-                }
-            )
+        rc = subprocess.call(
+            [sys.executable, __file__, "--config", name]
+        )
+        if rc:
+            emit({"config": name, "error": f"exit {rc}"})
 
 
 if __name__ == "__main__":

@@ -237,13 +237,16 @@ def tune(
     force: bool = False,
     iters: int | None = None,
     cache_path: str | os.PathLike | None = None,
+    on_miss: str = "search",
 ) -> NttConfig:
     """Resolve ``config``'s knobs via the persistent measure-and-cache tuner.
 
     Cache hit: returns immediately with the stored knobs.  Miss (or
     ``force=True``): runs the staged search on the current backend, stores
-    the winner, returns it.  The returned config has ``tune=False`` so NTT
-    construction does not recurse.
+    the winner, returns it -- unless ``on_miss="skip"``, which returns the
+    config untuned (for benchmark harnesses that must not spend minutes
+    tuning on an unseen device).  The returned config has ``tune=False``
+    so NTT construction does not recurse.
     """
     path = _cache_path(cache_path)
     key = cache_key(config)
@@ -251,6 +254,8 @@ def tune(
     if not force and key in data:
         knobs = data[key]["knobs"]
         return config.with_(tune=False, **{k: knobs.get(k) for k in KNOB_FIELDS})
+    if on_miss == "skip":
+        return config.with_(tune=False)
 
     _log(f"tuning {key} (no cache entry)")
     t0 = time.perf_counter()
