@@ -63,10 +63,15 @@ class FusedDirection:
     """Prepared device tables for one transform direction at one length.
 
     ``stage_ls``: DIF order l = m/2..1 (forward) or DIT order l = 1..m/2
-    (inverse).  ``tw``: per stage, four (m/2, block_b) uint32 arrays
-    (w_hi, w_lo, wp_hi, wp_lo) in butterfly layout.  ``scale``: for the
-    inverse, four (m/2, block_b) arrays of the broadcast (s, sp) pair used
-    by the final double-twiddle stage; empty tuple for forward.
+    (inverse).  ``tw``: per stage, four (l, block_b) uint32 arrays
+    (w_hi, w_lo, wp_hi, wp_lo) -- the l DISTINCT stage twiddles broadcast
+    over the lane tile.  Every butterfly block b reads the same l rows
+    (the round-1 (m/2, block_b) layout tiled them m/(2l)-fold: pure
+    redundancy in VMEM residency and operand traffic; deduplicating cuts
+    per-group twiddle bytes ~4x and frees VMEM for longer stage groups).
+    ``scale``: for the inverse, four (m/2, block_b) arrays of the
+    broadcast (s, sp) pair used by the final double-twiddle stage (where
+    l = m/2, so no redundancy); empty tuple for forward.
     ``block_b``/``spc`` are the lane-tile width and max stages per
     pallas_call the tables were prepared for (autotunable knobs).
 
@@ -93,8 +98,8 @@ jax.tree_util.register_dataclass(
 def _expand_pair(pair, m: int, l: int, block_b: int) -> tuple[jnp.ndarray, ...]:
     out = []
     for a in (pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo):
-        e = np.tile(np.asarray(a), m // (2 * l))[:, None]
-        out.append(jnp.asarray(np.broadcast_to(e, (m // 2, block_b)).copy()))
+        e = np.asarray(a)[:, None]  # the l distinct stage twiddles
+        out.append(jnp.asarray(np.broadcast_to(e, (l, block_b)).copy()))
     return tuple(out)
 
 
@@ -207,15 +212,16 @@ def _stage_one(fc, m, l, src, tw, dst, inverse, scale):
     sh, sl = src
     dh, dl = dst
     wh, wl, ph, pll = tw
+    # deduped tables: every block reads the SAME l distinct twiddle rows
+    w = U64(wh[0:l], wl[0:l])
+    wp = U64(ph[0:l], pll[0:l])
     for b in range(m // (2 * l)):
         r0 = 2 * b * l
         r1 = r0 + l
-        t0, t1 = b * l, (b + 1) * l
         x0 = U64(sh[r0 : r0 + l], sl[r0 : r0 + l])
         x1 = U64(sh[r1 : r1 + l], sl[r1 : r1 + l])
-        w = U64(wh[t0:t1], wl[t0:t1])
-        wp = U64(ph[t0:t1], pll[t0:t1])
         if scale is not None:
+            t0, t1 = b * l, (b + 1) * l
             sch, scl, sph, spl = scale
             sc = U64(sch[t0:t1], scl[t0:t1])
             scp = U64(sph[t0:t1], spl[t0:t1])
@@ -1050,20 +1056,25 @@ def _group_call(
 ):
     """Build the jitted pallas_call for one stage group (cached per config)."""
     kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale)
-    n_tw = 4 * len(stage_ls) + (4 if with_scale else 0)
+    # per-stage deduped twiddle blocks: four (l, block_b) operands each,
+    # plus four (m/2, block_b) scale operands on the final inverse group
+    tw_shapes = [l for l in stage_ls for _ in range(4)]
+    if with_scale:
+        tw_shapes += [m // 2] * 4
 
     @jax.jit
     def call(xh, xl, *tw_flat):
         b = xh.shape[1]
         x_spec = pl.BlockSpec((m, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
-        w_spec = pl.BlockSpec(
-            (m // 2, block_b), lambda i: (0, 0), memory_space=pltpu.VMEM
-        )
+        w_specs = [
+            pl.BlockSpec((rows, block_b), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for rows in tw_shapes
+        ]
         return pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((m, b), jnp.uint32)] * 2,
             grid=(b // block_b,),
-            in_specs=[x_spec, x_spec] + [w_spec] * n_tw,
+            in_specs=[x_spec, x_spec] + w_specs,
             out_specs=[x_spec] * 2,
             scratch_shapes=[pltpu.VMEM((m, block_b), jnp.uint32)] * 2,
             interpret=_use_interpret(),
@@ -1080,7 +1091,9 @@ def _mid_call(
     """Jitted pallas_call for one stage group along the MIDDLE axis of a
     (A, m, B) array, gridded over (A, B / block_b)."""
     kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale, mid=True)
-    n_tw = 4 * len(stage_ls) + (4 if with_scale else 0)
+    tw_shapes = [l for l in stage_ls for _ in range(4)]
+    if with_scale:
+        tw_shapes += [m // 2] * 4
 
     @jax.jit
     def call(xh, xl, *tw_flat):
@@ -1088,14 +1101,17 @@ def _mid_call(
         x_spec = pl.BlockSpec(
             (1, m, block_b), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
-        w_spec = pl.BlockSpec(
-            (m // 2, block_b), lambda i, j: (0, 0), memory_space=pltpu.VMEM
-        )
+        w_specs = [
+            pl.BlockSpec(
+                (rows, block_b), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            )
+            for rows in tw_shapes
+        ]
         return pl.pallas_call(
             kernel,
             out_shape=[jax.ShapeDtypeStruct((a, m, b), jnp.uint32)] * 2,
             grid=(a, b // block_b),
-            in_specs=[x_spec, x_spec] + [w_spec] * n_tw,
+            in_specs=[x_spec, x_spec] + w_specs,
             out_specs=[x_spec] * 2,
             scratch_shapes=[pltpu.VMEM((m, block_b), jnp.uint32)] * 2,
             interpret=_use_interpret(),
