@@ -63,15 +63,16 @@ class FusedDirection:
     """Prepared device tables for one transform direction at one length.
 
     ``stage_ls``: DIF order l = m/2..1 (forward) or DIT order l = 1..m/2
-    (inverse).  ``tw``: per stage, four (l, block_b) uint32 arrays
-    (w_hi, w_lo, wp_hi, wp_lo) -- the l DISTINCT stage twiddles broadcast
-    over the lane tile.  Every butterfly block b reads the same l rows
-    (the round-1 (m/2, block_b) layout tiled them m/(2l)-fold: pure
-    redundancy in VMEM residency and operand traffic; deduplicating cuts
-    per-group twiddle bytes ~4x and frees VMEM for longer stage groups).
-    ``scale``: for the inverse, four (m/2, block_b) arrays of the
-    broadcast (s, sp) pair used by the final double-twiddle stage (where
-    l = m/2, so no redundancy); empty tuple for forward.
+    (inverse).  ``tw``: per stage, four uint32 arrays (w_hi, w_lo, wp_hi,
+    wp_lo) in one of two layouts the kernels auto-detect by shape:
+    **tiled** (m/2, block_b) butterfly layout W[b*l+j] = w_stage[j]
+    (default), or **deduped** (l, block_b) distinct rows only.  MEASURED
+    (round 2): tiled wins ~30% at the 2^24 leaf shape -- sub-8-sublane
+    (l < 8) operand tiles read slowly on current Mosaic, outweighing the
+    ~4x VMEM residency saved by deduplication.  Dedup stays selectable
+    (``tiled_tw=False``) for future toolchains.  ``scale``: for the
+    inverse, four (m/2, block_b) arrays of the broadcast (s, sp) pair
+    used by the final double-twiddle stage; empty tuple for forward.
     ``block_b``/``spc`` are the lane-tile width and max stages per
     pallas_call the tables were prepared for (autotunable knobs).
 
@@ -95,11 +96,19 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _expand_pair(pair, m: int, l: int, block_b: int) -> tuple[jnp.ndarray, ...]:
+def _expand_pair(
+    pair, m: int, l: int, block_b: int, tiled: bool = False
+) -> tuple[jnp.ndarray, ...]:
     out = []
     for a in (pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo):
-        e = np.asarray(a)[:, None]  # the l distinct stage twiddles
-        out.append(jnp.asarray(np.broadcast_to(e, (l, block_b)).copy()))
+        e = np.asarray(a)
+        rows = l
+        if tiled:  # butterfly layout W[b*l + j] = w_stage[j]
+            e = np.tile(e, m // (2 * l))
+            rows = m // 2
+        out.append(
+            jnp.asarray(np.broadcast_to(e[:, None], (rows, block_b)).copy())
+        )
     return tuple(out)
 
 
@@ -109,6 +118,7 @@ def make_fused_forward(
     modmul: str = "montgomery",
     block_b: int | None = None,
     spc: int | None = None,
+    tiled_tw: bool = True,
 ) -> FusedDirection:
     block_b = block_b or BLOCK_B
     tabs = forward_tables(mod, m, modmul)
@@ -116,7 +126,7 @@ def make_fused_forward(
     for s, pair in enumerate(tabs.stages):  # l = m/2 ... 1
         l = m >> (s + 1)
         ls.append(l)
-        tw.append(_expand_pair(pair, m, l, block_b))
+        tw.append(_expand_pair(pair, m, l, block_b, tiled_tw))
     return FusedDirection(
         m, False, tuple(ls), tuple(tw), (), block_b, spc or MAX_STAGES_PER_CALL
     )
@@ -129,6 +139,7 @@ def make_fused_inverse(
     modmul: str = "montgomery",
     block_b: int | None = None,
     spc: int | None = None,
+    tiled_tw: bool = True,
 ) -> FusedDirection:
     block_b = block_b or BLOCK_B
     tabs = inverse_tables(mod, m, scale_extra, modmul)
@@ -136,7 +147,7 @@ def make_fused_inverse(
     for s, pair in enumerate(tabs.stages):  # l = 1 ... m/2
         l = 1 << s
         ls.append(l)
-        tw.append(_expand_pair(pair, m, l, block_b))
+        tw.append(_expand_pair(pair, m, l, block_b, tiled_tw))
     sc = []
     for a in (
         tabs.scale.w.hi,
@@ -212,19 +223,24 @@ def _stage_one(fc, m, l, src, tw, dst, inverse, scale):
     sh, sl = src
     dh, dl = dst
     wh, wl, ph, pll = tw
-    # deduped tables: every block reads the SAME l distinct twiddle rows
-    w = U64(wh[0:l], wl[0:l])
-    wp = U64(ph[0:l], pll[0:l])
+    # Table layout is read off the ref shape: l rows = deduplicated (every
+    # block reads the same l distinct twiddles), m/2 rows = tiled butterfly
+    # layout (block b reads rows [b*l, (b+1)*l)).  Both are supported so
+    # the layouts can be A/B-measured and tuned per config.
+    deduped = wh.shape[0] == l and l != m // 2
     for b in range(m // (2 * l)):
         r0 = 2 * b * l
         r1 = r0 + l
+        t0, t1 = (0, l) if deduped else (b * l, (b + 1) * l)
         x0 = U64(sh[r0 : r0 + l], sl[r0 : r0 + l])
         x1 = U64(sh[r1 : r1 + l], sl[r1 : r1 + l])
+        w = U64(wh[t0:t1], wl[t0:t1])
+        wp = U64(ph[t0:t1], pll[t0:t1])
         if scale is not None:
-            t0, t1 = b * l, (b + 1) * l
+            s0, s1 = b * l, (b + 1) * l
             sch, scl, sph, spl = scale
-            sc = U64(sch[t0:t1], scl[t0:t1])
-            scp = U64(sph[t0:t1], spl[t0:t1])
+            sc = U64(sch[s0:s1], scl[s0:s1])
+            scp = U64(sph[s0:s1], spl[s0:s1])
             y0, y1 = fc.butterfly_inverse_scaled(x0, x1, sc, scp, w, wp)
         elif inverse:
             y0, y1 = fc.butterfly_inverse(x0, x1, w, wp)
@@ -1056,19 +1072,16 @@ def _group_call(
 ):
     """Build the jitted pallas_call for one stage group (cached per config)."""
     kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale)
-    # per-stage deduped twiddle blocks: four (l, block_b) operands each,
-    # plus four (m/2, block_b) scale operands on the final inverse group
-    tw_shapes = [l for l in stage_ls for _ in range(4)]
-    if with_scale:
-        tw_shapes += [m // 2] * 4
 
     @jax.jit
     def call(xh, xl, *tw_flat):
         b = xh.shape[1]
         x_spec = pl.BlockSpec((m, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+        # operand shapes carry the layout: (l, block_b) deduped or
+        # (m/2, block_b) tiled (kernel branches on ref shape)
         w_specs = [
-            pl.BlockSpec((rows, block_b), lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for rows in tw_shapes
+            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for a in tw_flat
         ]
         return pl.pallas_call(
             kernel,
@@ -1091,9 +1104,6 @@ def _mid_call(
     """Jitted pallas_call for one stage group along the MIDDLE axis of a
     (A, m, B) array, gridded over (A, B / block_b)."""
     kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale, mid=True)
-    tw_shapes = [l for l in stage_ls for _ in range(4)]
-    if with_scale:
-        tw_shapes += [m // 2] * 4
 
     @jax.jit
     def call(xh, xl, *tw_flat):
@@ -1102,10 +1112,8 @@ def _mid_call(
             (1, m, block_b), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         )
         w_specs = [
-            pl.BlockSpec(
-                (rows, block_b), lambda i, j: (0, 0), memory_space=pltpu.VMEM
-            )
-            for rows in tw_shapes
+            pl.BlockSpec(t.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+            for t in tw_flat
         ]
         return pl.pallas_call(
             kernel,

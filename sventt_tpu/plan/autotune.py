@@ -260,6 +260,7 @@ def tune(
     _log(f"tuning {key} (no cache entry)")
     t0 = time.perf_counter()
     best, timings = search(config, iters)
+    _verify_winner(config, best)
     _log(f"winner {_tag(best)} in {time.perf_counter() - t0:.0f}s")
     data[key] = {
         "knobs": {k: getattr(best, k) for k in KNOB_FIELDS},
@@ -274,6 +275,40 @@ def tune(
     except OSError as e:
         _log(f"cache write failed ({e}); continuing untuned-cache")
     return best
+
+
+def _verify_winner(config: NttConfig, best: NttConfig) -> None:
+    """A tuned config must be bit-identical (mod N) to the untuned one.
+
+    Device-side residue comparison; the single scalar readback happens
+    after all timing, so the tunnel's D2H dispatch degradation
+    (PERF_NOTES.md round 2) cannot contaminate the measurements.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..field.limb import u64_from_numpy
+    from .wrapper import NTT
+
+    base = config.with_(tune=False)
+    if best == base:
+        return
+    rng = np.random.default_rng(1)
+    x = jax.device_put(
+        u64_from_numpy(rng.integers(0, config.modulus, config.n, dtype=np.uint64))
+    )
+    ntt_b = NTT(base, enable_inverse=False)
+    ntt_w = NTT(best, enable_inverse=False)
+    ref = ntt_b.fc.normalize(ntt_b.compute_forward(x))
+    got = ntt_w.fc.normalize(ntt_w.compute_forward(x))
+    same = jnp.array_equal(ref.hi, got.hi) & jnp.array_equal(ref.lo, got.lo)
+    if not bool(same):
+        raise AssertionError(
+            f"autotune winner {_tag(best)} is not bit-identical to the "
+            "untuned config -- refusing to cache it"
+        )
+    del ntt_b, ntt_w, ref, got
+    gc.collect()
 
 
 def _tag(cfg: NttConfig) -> str:
