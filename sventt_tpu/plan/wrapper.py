@@ -32,13 +32,6 @@ from . import planner
 from .config import NttConfig
 
 
-#: Below this size the whole working set fits VMEM and XLA's fused jnp code
-#: wins outright (measured: 2^17 0.09 ms jnp vs 1.6 ms pallas; crossover at
-#: HBM scale where the fused kernels cut stage passes: 2^24 28.5 ms pallas
-#: vs 34.8 ms jnp).
-_PALLAS_MIN_N = 1 << 21
-
-
 def _resolve_modmul(config: NttConfig) -> str:
     """'auto' -> Shoup at HBM-scale n for lazy-capable moduli (~30% fewer
     VMEM-touching multiplies, measured 20.6 vs 29 ms at 2^24), Montgomery
@@ -52,13 +45,15 @@ def _resolve_modmul(config: NttConfig) -> str:
 
 
 def _resolve_engine(engine: str, n: int | None = None) -> str:
+    """'auto' -> jnp: the batch-chunked VMEM-resident XLA path wins at
+    every measured size once each chunk's stage chain stays in VMEM
+    (round 2: 2^24 forward 0.38 ms jnp-chunked vs 27.4 ms pallas -- XLA
+    keeps the whole limb chain in registers where Mosaic materializes
+    ~600 B/butterfly through VMEM).  The fused pallas engine stays
+    selectable and autotunable."""
     if engine != "auto":
         return engine
-    if jax.default_backend() != "tpu":
-        return "jnp"
-    if n is not None and n < _PALLAS_MIN_N:
-        return "jnp"
-    return "pallas"
+    return "jnp"
 
 
 class NTT:
