@@ -237,12 +237,19 @@ def _mont_mul_bcast(fc: FieldConsts, x: U64, tw: MontPair, nb: int) -> U64:
     return fc.mont_mul(x, w, wp)
 
 
+#: Above this many chunks the chunk loop is a lax.fori_loop (body compiled
+#: once) instead of an unrolled slice list: a 128-way unrolled 2^28
+#: program produced 16 MB of MLIR and OOM-killed the remote compiler.
+MAX_UNROLLED_CHUNKS = 16
+
+
 def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
     """Apply a leading-axis jnp transform in VMEM-resident batch chunks.
 
-    ``x``: (m, batch...).  Chunks are static lane-axis slices, so XLA
-    compiles each chunk's full stage chain as one VMEM-resident fusion
-    (see JNP_RESIDENT_ELEMS); outputs are concatenated once.
+    ``x``: (m, batch...).  Chunks are lane-axis slices, so XLA compiles
+    each chunk's full stage chain as one VMEM-resident fusion (see
+    JNP_RESIDENT_ELEMS); few chunks are unrolled statically, many run
+    under a fori_loop with dynamic lane slices (one compiled body).
     """
     m = x.lo.shape[0]
     batch_shape = x.lo.shape[1:]
@@ -254,12 +261,28 @@ def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
         return fn(x, t, fc)
     xh = x.hi.reshape(m, b)
     xl = x.lo.reshape(m, b)
-    outs = [
-        fn(U64(xh[:, i : i + chunk_b], xl[:, i : i + chunk_b]), t, fc)
-        for i in range(0, b, chunk_b)
-    ]
-    oh = jnp.concatenate([o.hi for o in outs], axis=1)
-    ol = jnp.concatenate([o.lo for o in outs], axis=1)
+    n_chunks = b // chunk_b
+    if n_chunks <= MAX_UNROLLED_CHUNKS:
+        outs = [
+            fn(U64(xh[:, i : i + chunk_b], xl[:, i : i + chunk_b]), t, fc)
+            for i in range(0, b, chunk_b)
+        ]
+        oh = jnp.concatenate([o.hi for o in outs], axis=1)
+        ol = jnp.concatenate([o.lo for o in outs], axis=1)
+    else:
+
+        def body(i, acc):
+            oh, ol = acc
+            start = i * chunk_b
+            sh = jax.lax.dynamic_slice(xh, (0, start), (m, chunk_b))
+            sl = jax.lax.dynamic_slice(xl, (0, start), (m, chunk_b))
+            o = fn(U64(sh, sl), t, fc)
+            return (
+                jax.lax.dynamic_update_slice(oh, o.hi, (0, start)),
+                jax.lax.dynamic_update_slice(ol, o.lo, (0, start)),
+            )
+
+        oh, ol = jax.lax.fori_loop(0, n_chunks, body, (xh, xl))
     return U64(oh.reshape((m,) + batch_shape), ol.reshape((m,) + batch_shape))
 
 
