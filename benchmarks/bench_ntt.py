@@ -46,6 +46,7 @@ CONFIGS = [
     ("sixstep-2p20-jnp", 20, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "jnp", "auto"),
     ("blocked-2p24-flagship", 24, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
     ("blocked-2p24-shoup", 24, TEST_MODULUS, TEST_GENERATOR, "auto", "shoup"),
+    ("huge-2p26-flagship", 26, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
 ]
 
 QUICK = {"iterative-2p10", "sixstep-2p17-flagship"}
