@@ -44,38 +44,64 @@ CONFIGS = [
 QUICK = {"sixstep-2p17-flagship"}
 
 
-def main() -> None:
-    quick = "--quick" in sys.argv
-    force = "--force" in sys.argv
+def run_config(name: str, force: bool) -> None:
+    """Tune one config, then A/B it in a FRESH child process: the tuner's
+    winner-verification readback degrades this process's dispatch path
+    (PERF_NOTES.md round 2), so the comparison re-execs with --ab (cache
+    hit, clean state)."""
     rng = np.random.default_rng(0)
-    for name, log2n, N, g in CONFIGS:
+    [(name, log2n, N, g)] = [c for c in CONFIGS if c[0] == name]
+    n = 1 << log2n
+    base = NttConfig(N, g, n)
+    if "--ab" not in sys.argv:
+        import subprocess
+
+        log(f"bench_autotune: tuning {name} ...")
+        tune(base, force=force)  # populate the cache (clean-state search)
+        sys.exit(
+            subprocess.call(
+                [sys.executable, __file__, "--config", name, "--ab"]
+            )
+        )
+    tuned_cfg = tune(base)  # cache hit
+
+    x = jax.device_put(u64_from_numpy(rng.integers(0, N, n, dtype=np.uint64)))
+    iters = 20 if log2n <= 20 else 8
+    ntt_d = NTT(base, enable_inverse=False)
+    ms_d = chain_time_ms(lambda s: ntt_d.compute_forward(s), x, iters)
+    del ntt_d
+    ntt_t = NTT(tuned_cfg, enable_inverse=False)
+    ms_t = chain_time_ms(lambda s: ntt_t.compute_forward(s), x, iters)
+    del ntt_t
+    emit(
+        {
+            "config": name,
+            "n": n,
+            "default_ms": round(ms_d, 4),
+            "tuned_ms": round(ms_t, 4),
+            "speedup": round(ms_d / ms_t, 4),
+            "knobs": {k: getattr(tuned_cfg, k) for k in KNOB_FIELDS},
+        }
+    )
+
+
+def main() -> None:
+    force = "--force" in sys.argv
+    if "--config" in sys.argv:
+        run_config(sys.argv[sys.argv.index("--config") + 1], force)
+        return
+    import subprocess
+
+    quick = "--quick" in sys.argv
+    for name, *_ in CONFIGS:
         if quick and name not in QUICK:
             continue
-        n = 1 << log2n
-        base = NttConfig(N, g, n)
-        log(f"bench_autotune: tuning {name} ...")
-        tuned_cfg = tune(base, force=force)
-
-        x = jax.device_put(
-            u64_from_numpy(rng.integers(0, N, n, dtype=np.uint64))
-        )
-        iters = 20 if log2n <= 20 else 8
-        ntt_d = NTT(base, enable_inverse=False)
-        ms_d = chain_time_ms(lambda s: ntt_d.compute_forward(s), x, iters)
-        del ntt_d
-        ntt_t = NTT(tuned_cfg, enable_inverse=False)
-        ms_t = chain_time_ms(lambda s: ntt_t.compute_forward(s), x, iters)
-        del ntt_t
-        emit(
-            {
-                "config": name,
-                "n": n,
-                "default_ms": round(ms_d, 4),
-                "tuned_ms": round(ms_t, 4),
-                "speedup": round(ms_d / ms_t, 4),
-                "knobs": {k: getattr(tuned_cfg, k) for k in KNOB_FIELDS},
-            }
-        )
+        args = [sys.executable, __file__, "--config", name]
+        if force:
+            args.append("--force")
+        rc = subprocess.call(args)
+        if rc:
+            emit({"config": name, "error": f"exit {rc}"})
 
 
 if __name__ == "__main__":
