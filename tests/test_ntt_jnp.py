@@ -110,3 +110,24 @@ def test_scale_extra_folding(rng):
     got = u64_to_numpy(ntt_inverse(y, inv_k, fc))[:, 0]
     want = (x[:, 0].astype(object) * k) % N
     assert ((got.astype(object) % N) == want).all()
+
+
+def test_chunked_leaf_paths_bit_exact(rng, monkeypatch):
+    """The VMEM-resident chunk executor (planner._jnp_chunked): both the
+    unrolled-slices and fori_loop variants must match the golden model
+    (thresholds scaled down so both trigger at test sizes)."""
+    import sventt_tpu.plan.planner as P
+    from sventt_tpu import GoldenNTT, Modulus, TEST_GENERATOR, TEST_MODULUS
+    from sventt_tpu.plan import NTT, NttConfig
+
+    mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
+    for max_unrolled in (64, 2):  # unrolled path, then fori_loop path
+        monkeypatch.setattr(P, "JNP_RESIDENT_ELEMS", 1 << 8)
+        monkeypatch.setattr(P, "MAX_UNROLLED_CHUNKS", max_unrolled)
+        cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, engine="jnp")
+        ntt = NTT(cfg)
+        x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+        fwd = ntt.forward_numpy(x)
+        want = GoldenNTT(cfg.n, mod).forward(list(map(int, x)))
+        assert list(map(int, fwd)) == want
+        assert (ntt.inverse_numpy(fwd) == x).all()
