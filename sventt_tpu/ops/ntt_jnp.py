@@ -102,6 +102,77 @@ def ntt_inverse(x: U64, tables: InverseTables, fc: FieldConsts) -> U64:
     return x
 
 
+# -- middle-axis variants: transform along AXIS 1 of (A, m, batch...) --------
+#
+# The six-step row step applied in place on the (columns, rows, batch)
+# layout -- the jnp analogue of ops/ntt_pallas.fused_ntt_mid: a Split node
+# whose row child is a jnp leaf runs here instead of the transpose / leaf /
+# transpose sandwich, eliminating both XLA transposes per level (the
+# reference fuses transposition into its blocked row layers the same way,
+# reference layer/sve/blocked-generic.hpp:138-154).  On XLA (unlike Mosaic)
+# the axis-1 reshape/stack patterns compile to the same clean code as the
+# leading-axis ones.
+
+
+def _mid_views(x: U64, m: int, l: int):
+    a = x.lo.shape[0]
+    batch = x.lo.shape[2:]
+    shape = (a, m // (2 * l), 2, l) + batch
+    xr_hi = x.hi.reshape(shape)
+    xr_lo = x.lo.reshape(shape)
+    return U64(xr_hi[:, :, 0], xr_lo[:, :, 0]), U64(xr_hi[:, :, 1], xr_lo[:, :, 1])
+
+
+def _mid_join(y0: U64, y1: U64, m: int):
+    a = y0.lo.shape[0]
+    batch = y0.lo.shape[3:]
+    hi = jnp.stack([y0.hi, y1.hi], axis=2).reshape((a, m) + batch)
+    lo = jnp.stack([y0.lo, y1.lo], axis=2).reshape((a, m) + batch)
+    return U64(hi, lo)
+
+
+def _mid_tw(pair: MontPair, l: int, ndim_batch: int) -> MontPair:
+    shape = (1, 1, l) + (1,) * ndim_batch
+    return MontPair(_u64_bcast(pair.w, shape), _u64_bcast(pair.wp, shape))
+
+
+def ntt_forward_mid(x: U64, tables: ForwardTables, fc: FieldConsts) -> U64:
+    """Length-m DIF NTT along AXIS 1 of (A, m, batch...); bit-compatible
+    (mod N) with ``ntt_forward`` applied to the transposed data."""
+    m = tables.m
+    if x.lo.shape[1] != m:
+        raise ValueError(f"axis-1 length {x.lo.shape[1]} != transform length {m}")
+    nb = x.lo.ndim - 2
+    for pair in tables.stages:
+        l = pair.w.lo.shape[0]
+        x0, x1 = _mid_views(x, m, l)
+        w = _mid_tw(pair, l, nb)
+        y0, y1 = fc.butterfly_forward(x0, x1, w.w, w.wp)
+        x = _mid_join(y0, y1, m)
+    return x
+
+
+def ntt_inverse_mid(x: U64, tables: InverseTables, fc: FieldConsts) -> U64:
+    """Mirror of ntt_forward_mid (DIT inverse along axis 1, 1/m folded
+    into the final double-twiddle stage)."""
+    m = tables.m
+    if x.lo.shape[1] != m:
+        raise ValueError(f"axis-1 length {x.lo.shape[1]} != transform length {m}")
+    nb = x.lo.ndim - 2
+    last = len(tables.stages) - 1
+    for s, pair in enumerate(tables.stages):
+        l = pair.w.lo.shape[0]
+        x0, x1 = _mid_views(x, m, l)
+        w = _mid_tw(pair, l, nb)
+        if s == last:
+            sc = _mid_tw(tables.scale, 1, nb)
+            y0, y1 = fc.butterfly_inverse_scaled(x0, x1, sc.w, sc.wp, w.w, w.wp)
+        else:
+            y0, y1 = fc.butterfly_inverse(x0, x1, w.w, w.wp)
+        x = _mid_join(y0, y1, m)
+    return x
+
+
 def pointwise_mont_mul(a: U64, b: U64, fc: FieldConsts) -> U64:
     """Elementwise product where ``b`` is in the Montgomery domain.
 

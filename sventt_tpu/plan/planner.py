@@ -30,7 +30,12 @@ import numpy as np
 from ..field.limb import U64, FieldConsts
 from ..field.modulus import Modulus
 from ..ops import ntt_pallas
-from ..ops.ntt_jnp import ntt_forward, ntt_inverse
+from ..ops.ntt_jnp import (
+    ntt_forward,
+    ntt_forward_mid,
+    ntt_inverse,
+    ntt_inverse_mid,
+)
 from ..ops.twiddle import (
     MontPair,
     forward_tables,
@@ -286,6 +291,82 @@ def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
     return U64(oh.reshape((m,) + batch_shape), ol.reshape((m,) + batch_shape))
 
 
+def _jnp_mid_chunked(
+    x: U64, t, fc: FieldConsts, tw: MontPair, inverse: bool
+) -> U64:
+    """Six-step row step on (m0, m1, batch...) without transposes: the
+    axis-1 jnp transform with the inter-step twiddle multiply FUSED into
+    each VMEM-resident chunk (rows of m0 per chunk) -- forward multiplies
+    before the row NTT, inverse after (mirror).  One HBM read + write per
+    level instead of twiddle pass + two transposes + leaf pass.
+    """
+    m0, m1 = x.lo.shape[0], x.lo.shape[1]
+    batch = x.lo.shape[2:]
+    nb = len(batch)
+    b = int(np.prod(batch)) if batch else 1
+    fn = ntt_inverse_mid if inverse else ntt_forward_mid
+
+    def run(v: U64, w: MontPair) -> U64:
+        if not inverse:
+            v = _mont_mul_bcast(fc, v, w, nb)
+            return fn(v, t, fc)
+        v = fn(v, t, fc)
+        return _mont_mul_bcast(fc, v, w, nb)
+
+    chunk_a = max(1, JNP_RESIDENT_ELEMS // (m1 * b))
+    if chunk_a >= m0 or m0 % chunk_a:
+        return run(x, tw)
+    n_chunks = m0 // chunk_a
+
+    def tw_slice(i0, take):
+        w = take(tw.w.hi), take(tw.w.lo)
+        if tw.wp is None:
+            return MontPair(U64(*w), None)
+        return MontPair(U64(*w), U64(take(tw.wp.hi), take(tw.wp.lo)))
+
+    if n_chunks <= MAX_UNROLLED_CHUNKS:
+        outs = []
+        for i in range(0, m0, chunk_a):
+            sl = slice(i, i + chunk_a)
+            v = U64(x.hi[sl], x.lo[sl])
+            outs.append(run(v, tw_slice(i, lambda a, sl=sl: a[sl])))
+        hi = jnp.concatenate([o.hi for o in outs], axis=0)
+        lo = jnp.concatenate([o.lo for o in outs], axis=0)
+        return U64(hi, lo)
+
+    def body(i, acc):
+        oh, ol = acc
+        start = i * chunk_a
+        zeros = (0,) * (nb + 1)
+
+        def dslice(a):
+            return jax.lax.dynamic_slice(
+                a, (start,) + zeros, (chunk_a, m1) + batch
+            )
+
+        def dslice2(a):
+            return jax.lax.dynamic_slice(a, (start, 0), (chunk_a, m1))
+
+        o = run(U64(dslice(x.hi), dslice(x.lo)), tw_slice(start, dslice2))
+        return (
+            jax.lax.dynamic_update_slice(oh, o.hi, (start,) + zeros),
+            jax.lax.dynamic_update_slice(ol, o.lo, (start,) + zeros),
+        )
+
+    oh, ol = jax.lax.fori_loop(0, n_chunks, body, (x.hi, x.lo))
+    return U64(oh, ol)
+
+
+def _jnp_row(node) -> bool:
+    """Split nodes whose row child is a jnp leaf run it middle-axis with
+    the inter-step twiddle fused into the chunks (no transposes)."""
+    return (
+        isinstance(node, Split)
+        and isinstance(node.row, Leaf)
+        and node.row.engine == "jnp"
+    )
+
+
 def run_forward(x: U64, node, tables: PlanTables) -> U64:
     """Length-m DIF NTT along the leading axis (bit-reversed output)."""
     fc = tables.fc
@@ -309,6 +390,13 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         # splits / inner levels), no transposes
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
         mat = ntt_pallas.fused_ntt_mid(mat, tables.leaf[node.m1], fc)
+    elif _jnp_row(node):
+        # jnp middle-axis row leaf: twiddles fused into VMEM-resident
+        # chunks, no transposes
+        mat = _jnp_mid_chunked(
+            mat, tables.leaf[node.m1], fc, tables.split_tw[(m0, m1)],
+            inverse=False,
+        )
     else:
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
         mat = _transpose01(mat)  # (m1, m0, batch)
@@ -340,6 +428,12 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
         # undo row NTTs along axis 1 in place, then inverse twiddles
         mat = ntt_pallas.fused_ntt_mid(mat, tables.leaf[node.m1], fc)
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+    elif _jnp_row(node):
+        # undo row NTTs along axis 1, inverse twiddles fused per chunk
+        mat = _jnp_mid_chunked(
+            mat, tables.leaf[node.m1], fc, tables.split_tw[(m0, m1)],
+            inverse=True,
+        )
     else:
         mat = _transpose01(mat)
         mat = run_inverse(mat, node.row, tables)  # undo row NTTs
