@@ -183,6 +183,12 @@ class DistributedNTT:
 
     # -- local (per-shard) schedules ---------------------------------------
 
+    def _row_is_jnp_leaf(self) -> bool:
+        return (
+            isinstance(self._row_plan, planner.Leaf)
+            and self._row_plan.engine == "jnp"
+        )
+
     def _forward_local(self, x: U64, tw, col_tables, row_tables) -> U64:
         n0, n1 = self.n0, self.n1
         D = self.D
@@ -195,11 +201,17 @@ class DistributedNTT:
         mat = self._tw_mul(mat, w, wp)
         # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
         mat = self._all_to_all(mat, split_axis=0, concat_axis=1)
-        mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
-        # row NTTs: full leading axis n1 is local
-        mat = planner.run_forward(mat, self._row_plan, row_tables)
-        # local transpose: (n1, n0/D) -> (n0/D, n1) = flat bit-reversed shard
-        mat = _transpose01(mat)
+        # row NTTs on the (n0/D, n1) shard: a jnp row leaf runs along
+        # axis 1 in place (no local transposes -- planner._jnp_mid_chunked,
+        # twiddles already applied under the column sharding above)
+        if self._row_is_jnp_leaf():
+            mat = planner._jnp_mid_chunked(
+                mat, row_tables.leaf[n1], self.fc, None, inverse=False
+            )
+        else:
+            mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
+            mat = planner.run_forward(mat, self._row_plan, row_tables)
+            mat = _transpose01(mat)  # -> (n0/D, n1) flat bit-reversed shard
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)
 
     def _inverse_local(self, x: U64, tw, row_tables, col_tables) -> U64:
@@ -207,9 +219,14 @@ class DistributedNTT:
         D = self.D
         w, wp = tw
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
-        mat = _transpose01(mat)  # (n1, n0/D)
-        mat = planner.run_inverse(mat, self._row_plan, row_tables)
-        mat = _transpose01(mat)  # (n0/D, n1)
+        if self._row_is_jnp_leaf():
+            mat = planner._jnp_mid_chunked(
+                mat, row_tables.leaf[n1], self.fc, None, inverse=True
+            )
+        else:
+            mat = _transpose01(mat)  # (n1, n0/D)
+            mat = planner.run_inverse(mat, self._row_plan, row_tables)
+            mat = _transpose01(mat)  # (n0/D, n1)
         # undo [comm 2]
         mat = self._all_to_all(mat, split_axis=1, concat_axis=0)
         mat = self._tw_mul(mat, w, wp)  # undo twiddles

@@ -292,13 +292,15 @@ def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
 
 
 def _jnp_mid_chunked(
-    x: U64, t, fc: FieldConsts, tw: MontPair, inverse: bool
+    x: U64, t, fc: FieldConsts, tw: MontPair | None, inverse: bool
 ) -> U64:
     """Six-step row step on (m0, m1, batch...) without transposes: the
     axis-1 jnp transform with the inter-step twiddle multiply FUSED into
     each VMEM-resident chunk (rows of m0 per chunk) -- forward multiplies
     before the row NTT, inverse after (mirror).  One HBM read + write per
     level instead of twiddle pass + two transposes + leaf pass.
+    ``tw=None`` runs the bare axis-1 transform (the distributed schedule
+    applies its twiddles under a different sharding).
     """
     m0, m1 = x.lo.shape[0], x.lo.shape[1]
     batch = x.lo.shape[2:]
@@ -306,7 +308,9 @@ def _jnp_mid_chunked(
     b = int(np.prod(batch)) if batch else 1
     fn = ntt_inverse_mid if inverse else ntt_forward_mid
 
-    def run(v: U64, w: MontPair) -> U64:
+    def run(v: U64, w: MontPair | None) -> U64:
+        if w is None:
+            return fn(v, t, fc)
         if not inverse:
             v = _mont_mul_bcast(fc, v, w, nb)
             return fn(v, t, fc)
@@ -319,6 +323,8 @@ def _jnp_mid_chunked(
     n_chunks = m0 // chunk_a
 
     def tw_slice(i0, take):
+        if tw is None:
+            return None
         w = take(tw.w.hi), take(tw.w.lo)
         if tw.wp is None:
             return MontPair(U64(*w), None)
