@@ -46,7 +46,8 @@ _DEFAULT_CACHE = Path(__file__).resolve().parents[2] / "autotune_cache.json"
 
 #: Tunable fields copied from a search winner into the returned config.
 KNOB_FIELDS = (
-    "engine", "modmul", "max_fused", "block_b", "stages_per_call", "lane_rows"
+    "engine", "modmul", "max_fused", "block_b", "stages_per_call",
+    "lane_rows", "chunk_elems",
 )
 
 
@@ -162,6 +163,11 @@ KNOB_GRID = (
     ("lane_rows", (32, 64, 128)),
 )
 
+#: jnp-engine knob grid (coordinate descent when the jnp engine wins).
+JNP_KNOB_GRID = (
+    ("chunk_elems", (1 << 20, 1 << 21, 1 << 22)),
+)
+
 
 def search(
     config: NttConfig, iters: int | None = None
@@ -196,6 +202,21 @@ def search(
         raise RuntimeError("autotune: every candidate failed")
 
     if best.engine != "pallas":
+        # jnp winner: tune the VMEM-resident chunk size (only bites when
+        # the transform exceeds one chunk)
+        from .planner import JNP_RESIDENT_ELEMS
+
+        for name, grid in JNP_KNOB_GRID:
+            if config.n <= min(grid):
+                break
+            current = getattr(best, name) or JNP_RESIDENT_ELEMS
+            for val in grid:
+                if val == current:
+                    continue
+                cand = best.with_(**{name: val})
+                ms = timed(cand, f"{name}={val}")
+                if ms < best_ms:
+                    best, best_ms = cand, ms
         return best, timings
 
     # Stage B: plan shape (largest fused leaf).  Only meaningful when the

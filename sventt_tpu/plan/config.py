@@ -60,6 +60,9 @@ class NttConfig:
     stages_per_call: int | None = None  # butterfly stages per pallas_call
     lane_rows: int | None = None  # lane-kernel batch-rows block height
     max_fused: int | None = None  # largest fused leaf in the plan tree
+    #: jnp engine: VMEM-resident chunk size in elements (None = the
+    #: measured default, plan/planner.py JNP_RESIDENT_ELEMS).
+    chunk_elems: int | None = None
     #: Resolve knobs via the measure-and-cache autotuner at NTT build time.
     tune: bool = False
 
@@ -82,7 +85,7 @@ class NttConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.modmul not in ("auto", "montgomery", "shoup"):
             raise ValueError(f"unknown modmul engine {self.modmul!r}")
-        for name in ("block_b", "stages_per_call", "lane_rows", "max_fused"):
+        for name in ("block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems"):
             v = getattr(self, name)
             if v is not None and (v < 1 or (name != "stages_per_call" and not _is_pow2(v))):
                 raise ValueError(f"{name} must be a positive power of two, got {v}")

@@ -140,12 +140,14 @@ class PlanTables:
         block_b: int | None = None,
         spc: int | None = None,
         rows: int | None = None,
+        chunk_elems: int | None = None,
     ):
         self.plan = plan
         self.mod = mod
         self.fc = fc
         self.inverse = inverse
-        self.knobs = (block_b, spc, rows)  # autotunable kernel knobs
+        # autotunable kernel knobs
+        self.knobs = (block_b, spc, rows, chunk_elems)
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
@@ -164,7 +166,7 @@ class PlanTables:
                 return
             modmul = self.fc.modmul
             if node.engine == "pallas":
-                block_b, spc, _ = self.knobs
+                block_b, spc = self.knobs[0], self.knobs[1]
                 t = ntt_pallas.make_leaf_tables(
                     self.mod, node.m, inverse=self.inverse, modmul=modmul,
                     block_b=block_b, spc=spc,
@@ -248,7 +250,9 @@ def _mont_mul_bcast(fc: FieldConsts, x: U64, tw: MontPair, nb: int) -> U64:
 MAX_UNROLLED_CHUNKS = 16
 
 
-def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
+def _jnp_chunked(
+    x: U64, t, fc: FieldConsts, fn, chunk_elems: int | None = None
+) -> U64:
     """Apply a leading-axis jnp transform in VMEM-resident batch chunks.
 
     ``x``: (m, batch...).  Chunks are lane-axis slices, so XLA compiles
@@ -256,12 +260,13 @@ def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
     JNP_RESIDENT_ELEMS); few chunks are unrolled statically, many run
     under a fori_loop with dynamic lane slices (one compiled body).
     """
+    resident = chunk_elems or JNP_RESIDENT_ELEMS
     m = x.lo.shape[0]
     batch_shape = x.lo.shape[1:]
     b = int(np.prod(batch_shape)) if batch_shape else 1
-    if m * b <= JNP_RESIDENT_ELEMS or b == 1:
+    if m * b <= resident or b == 1:
         return fn(x, t, fc)
-    chunk_b = max(1, JNP_RESIDENT_ELEMS // m)
+    chunk_b = max(1, resident // m)
     if b % chunk_b:  # power-of-two shapes always divide; fall back if not
         return fn(x, t, fc)
     xh = x.hi.reshape(m, b)
@@ -292,7 +297,8 @@ def _jnp_chunked(x: U64, t, fc: FieldConsts, fn) -> U64:
 
 
 def _jnp_mid_chunked(
-    x: U64, t, fc: FieldConsts, tw: MontPair | None, inverse: bool
+    x: U64, t, fc: FieldConsts, tw: MontPair | None, inverse: bool,
+    chunk_elems: int | None = None,
 ) -> U64:
     """Six-step row step on (m0, m1, batch...) without transposes: the
     axis-1 jnp transform with the inter-step twiddle multiply FUSED into
@@ -317,7 +323,7 @@ def _jnp_mid_chunked(
         v = fn(v, t, fc)
         return _mont_mul_bcast(fc, v, w, nb)
 
-    chunk_a = max(1, JNP_RESIDENT_ELEMS // (m1 * b))
+    chunk_a = max(1, (chunk_elems or JNP_RESIDENT_ELEMS) // (m1 * b))
     if chunk_a >= m0 or m0 % chunk_a:
         return run(x, tw)
     n_chunks = m0 // chunk_a
@@ -380,7 +386,7 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         t = tables.leaf[node.m]
         if node.engine == "pallas":
             return ntt_pallas.fused_ntt(x, t, fc)
-        return _jnp_chunked(x, t, fc, ntt_forward)
+        return _jnp_chunked(x, t, fc, ntt_forward, tables.knobs[3])
     m0, m1 = node.m0, node.m1
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
@@ -401,7 +407,7 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         # chunks, no transposes
         mat = _jnp_mid_chunked(
             mat, tables.leaf[node.m1], fc, tables.split_tw[(m0, m1)],
-            inverse=False,
+            inverse=False, chunk_elems=tables.knobs[3],
         )
     else:
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
@@ -420,7 +426,7 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
         t = tables.leaf[node.m]
         if node.engine == "pallas":
             return ntt_pallas.fused_ntt(x, t, fc)
-        return _jnp_chunked(x, t, fc, ntt_inverse)
+        return _jnp_chunked(x, t, fc, ntt_inverse, tables.knobs[3])
     m0, m1 = node.m0, node.m1
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
@@ -438,7 +444,7 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
         # undo row NTTs along axis 1, inverse twiddles fused per chunk
         mat = _jnp_mid_chunked(
             mat, tables.leaf[node.m1], fc, tables.split_tw[(m0, m1)],
-            inverse=True,
+            inverse=True, chunk_elems=tables.knobs[3],
         )
     else:
         mat = _transpose01(mat)

@@ -89,7 +89,8 @@ class NTT:
         donate = (0,) if donate_input else ()
         cfg = self.config
         knobs = dict(
-            block_b=cfg.block_b, spc=cfg.stages_per_call, rows=cfg.lane_rows
+            block_b=cfg.block_b, spc=cfg.stages_per_call, rows=cfg.lane_rows,
+            chunk_elems=cfg.chunk_elems,
         )
         if enable_forward:
             self._fwd_tables = planner.PlanTables(
@@ -152,6 +153,11 @@ class NTT:
                 row = f"lane-axis pallas m1={node.m1} (fused twiddle, no transposes)"
             elif batch and P._lane_row(node):
                 row = f"mid-axis pallas m1={node.m1} (no transposes)"
+            elif P._jnp_row(node):
+                row = (
+                    f"mid-axis jnp m1={node.m1} "
+                    "(chunked VMEM-resident, fused twiddle, no transposes)"
+                )
             else:
                 row = f"transposed row leaf m1={node.m1}"
             lines.append(f"{pad}split {node.m} = {node.m0} x {node.m1}: {row}")
