@@ -131,3 +131,44 @@ def test_chunked_leaf_paths_bit_exact(rng, monkeypatch):
         want = GoldenNTT(cfg.n, mod).forward(list(map(int, x)))
         assert list(map(int, fwd)) == want
         assert (ntt.inverse_numpy(fwd) == x).all()
+
+
+def test_mid_axis_engine_matches_transposed(rng):
+    """ntt_forward_mid / ntt_inverse_mid (axis-1 transform) must be
+    bit-identical to the leading-axis engine applied to the transposed
+    data, for 2-D and batched 3-D shapes."""
+    import jax.numpy as jnp
+
+    from sventt_tpu import TEST_GENERATOR, TEST_MODULUS, Modulus
+    from sventt_tpu.field.limb import (
+        FieldConsts,
+        U64,
+        u64_from_numpy,
+        u64_to_numpy,
+    )
+    from sventt_tpu.ops.ntt_jnp import (
+        ntt_forward,
+        ntt_forward_mid,
+        ntt_inverse,
+        ntt_inverse_mid,
+    )
+    from sventt_tpu.ops.twiddle import forward_tables, inverse_tables
+
+    mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
+    fc = FieldConsts.from_modulus(mod)
+    m = 32
+    ft = forward_tables(mod, m)
+    it = inverse_tables(mod, m)
+    for shape in [(4, m), (4, m, 3)]:
+        x = rng.integers(0, mod.modulus, shape, dtype=np.uint64)
+        xd = u64_from_numpy(x)
+        got = u64_to_numpy(fc.normalize(ntt_forward_mid(xd, ft, fc)))
+        perm = (1, 0) + tuple(range(2, len(shape)))
+        xt = U64(jnp.transpose(xd.hi, perm), jnp.transpose(xd.lo, perm))
+        want = u64_to_numpy(fc.normalize(ntt_forward(xt, ft, fc)))
+        np.testing.assert_array_equal(got, want.swapaxes(0, 1))
+        # inverse roundtrip through the mid-axis pair
+        back = u64_to_numpy(
+            fc.normalize(ntt_inverse_mid(u64_from_numpy(got), it, fc))
+        )
+        np.testing.assert_array_equal(back, x)
