@@ -95,38 +95,122 @@ def _log(msg: str) -> None:
     print(f"autotune: {msg}", file=sys.stderr, flush=True)
 
 
+#: Minimum wall time of one timed chain, seconds.  At the 0.1 ms/call scale
+#: run-to-run variance is comparable to the measurement itself (round-2
+#: finding); chains are lengthened adaptively until one chain takes at least
+#: this long, bounding relative timer/tunnel noise to ~1-2%.
+MIN_CHAIN_S = 0.05
+
+#: Chain-length growth cap during adaptive lengthening.
+MAX_CHAIN_ITERS = 512
+
+
+def _chain_once(ntt, x, iters: int) -> float:
+    """One timed chain of ``iters`` dependent forward calls; returns ms/call."""
+    import jax
+
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = ntt.compute_forward(y)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def _adaptive_iters(ntt, x, iters: int) -> tuple[int, float]:
+    """Grow the chain length until one chain takes >= MIN_CHAIN_S.
+
+    Returns (final iters, ms/call of the last probe chain).  The probe
+    chains double in length, so total probing costs < 2 final chains.
+    """
+    ms = _chain_once(ntt, x, iters)
+    while iters < MAX_CHAIN_ITERS and ms * iters < MIN_CHAIN_S * 1e3:
+        iters = min(MAX_CHAIN_ITERS, iters * 2)
+        ms = _chain_once(ntt, x, iters)
+    return iters, ms
+
+
+def _make_input(config: NttConfig):
+    import jax
+
+    from ..field.limb import u64_from_numpy
+
+    rng = np.random.default_rng(0)
+    return jax.device_put(
+        u64_from_numpy(
+            rng.integers(0, config.modulus, config.n, dtype=np.uint64)
+        )
+    )
+
+
 def _time_candidate(config: NttConfig, iters: int, reps: int = 2) -> float:
     """Chained-dependent-call timing of one candidate's forward transform.
 
     Single-call timings through the axon tunnel carry a flat ~27 ms
     completion poll (PERF_NOTES.md); ``iters`` dependent transforms inside
-    one block_until_ready amortize it away.  Returns best-of-``reps`` ms.
+    one block_until_ready amortize it away.  The chain is lengthened
+    adaptively (MIN_CHAIN_S) so fast configs are not judged on noise.
+    Returns best-of-``reps`` ms.
     """
     import jax
 
-    from ..field.limb import u64_from_numpy
     from .wrapper import NTT
 
     ntt = NTT(config, enable_inverse=False)
-    rng = np.random.default_rng(0)
-    x = jax.device_put(
-        u64_from_numpy(
-            rng.integers(0, config.modulus, config.n, dtype=np.uint64)
-        )
-    )
+    x = _make_input(config)
     out = ntt.compute_forward(x)  # compile + warm-up
     jax.block_until_ready(out)
-    best = float("inf")
+    iters, best = _adaptive_iters(ntt, x, iters)
     for _ in range(reps):
-        y = x
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            y = ntt.compute_forward(y)
-        jax.block_until_ready(y)
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    del ntt, x, out, y
+        best = min(best, _chain_once(ntt, x, iters))
+    del ntt, x, out
     gc.collect()
     return best
+
+
+#: Finalists within this factor of the greedy winner enter the playoff.
+PLAYOFF_MARGIN = 1.2
+
+#: Playoff round-robin rounds (each candidate is timed this many times,
+#: interleaved, so slow drift -- tunnel state, thermal -- hits every
+#: candidate equally instead of biasing whichever ran last).
+PLAYOFF_ROUNDS = 3
+
+
+def _playoff(
+    finalists: list[tuple[str, NttConfig]], iters: int,
+    timings: dict[str, float],
+) -> tuple[NttConfig, float]:
+    """Interleaved re-measurement of near-tied candidates.
+
+    The staged greedy search times candidates SEQUENTIALLY, so any slow
+    drift in device/tunnel state biases the comparison.  The playoff keeps
+    all finalist executables alive and alternates timed chains between
+    them round-robin, taking each candidate's min across rounds.
+    """
+    import jax
+
+    from .wrapper import NTT
+
+    x = _make_input(finalists[0][1])
+    ntts = []
+    for tag, cfg in finalists:
+        ntt = NTT(cfg, enable_inverse=False)
+        jax.block_until_ready(ntt.compute_forward(x))  # compile + warm
+        ntts.append((tag, cfg, ntt))
+    iters, _ = _adaptive_iters(ntts[0][2], x, iters)
+    best: dict[str, float] = {tag: float("inf") for tag, _ in finalists}
+    for _ in range(PLAYOFF_ROUNDS):
+        for tag, _, ntt in ntts:
+            best[tag] = min(best[tag], _chain_once(ntt, x, iters))
+    for tag, ms in best.items():
+        _log(f"playoff {tag}: {ms:.3f} ms")
+        timings[f"playoff:{tag}"] = ms
+    tag, cfg, _ = min(ntts, key=lambda t: best[t[0]])
+    ms = best[tag]
+    del ntts, x
+    gc.collect()
+    return cfg, ms
 
 
 def _lazy_capable(config: NttConfig) -> bool:
@@ -178,6 +262,7 @@ def search(
         iters = max(4, min(20, (1 << 27) // config.n))
     base = config.with_(tune=False)
     timings: dict[str, float] = {}
+    candidates: dict[str, NttConfig] = {}
 
     def timed(cfg: NttConfig, tag: str) -> float:
         try:
@@ -188,7 +273,28 @@ def search(
         else:
             _log(f"{tag}: {ms:.3f} ms")
         timings[tag] = ms
+        candidates[tag] = cfg
         return ms
+
+    def finish(best: NttConfig, best_ms: float) -> tuple[NttConfig, dict]:
+        """Interleaved playoff between near-tied measured candidates."""
+        if _backend() != "tpu":
+            return best, timings
+        finalists: list[tuple[str, NttConfig]] = []
+        seen: list[NttConfig] = []
+        for tag, ms in sorted(timings.items(), key=lambda kv: kv[1]):
+            cfg = candidates[tag]
+            if ms > best_ms * PLAYOFF_MARGIN or cfg in seen:
+                continue
+            finalists.append((tag, cfg))
+            seen.append(cfg)
+        # memory guard: each finalist keeps its tables + executables alive
+        limit = 2 if config.n >= (1 << 26) else 3
+        finalists = finalists[:limit]
+        if len(finalists) < 2:
+            return best, timings
+        winner, _ = _playoff(finalists, iters, timings)
+        return winner, timings
 
     # Stage A: engine x modmul on default knobs.
     best, best_ms = None, float("inf")
@@ -217,7 +323,7 @@ def search(
                 ms = timed(cand, f"{name}={val}")
                 if ms < best_ms:
                     best, best_ms = cand, ms
-        return best, timings
+        return finish(best, best_ms)
 
     # Stage B: plan shape (largest fused leaf).  Only meaningful when the
     # transform decomposes (n above the leaf size).
@@ -249,7 +355,7 @@ def search(
             if ms < best_ms:
                 best, best_ms = cand, ms
 
-    return best, timings
+    return finish(best, best_ms)
 
 
 def tune(

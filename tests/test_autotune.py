@@ -131,3 +131,52 @@ def test_tune_true_resolves_via_wrapper(tmp_path, monkeypatch):
     out = ntt.forward_numpy(x)
     assert int(out[0]) == int(x.astype(object).sum() % TEST_MODULUS)
     assert (ntt.inverse_numpy(out) == x).all()
+
+
+def test_playoff_finalist_selection(monkeypatch):
+    """Near-tied candidates are re-raced interleaved; the playoff winner is
+    returned even when the greedy pass ranked it second."""
+    monkeypatch.setattr(autotune, "_backend", lambda: "tpu")
+    monkeypatch.setattr(autotune, "_engine_candidates", lambda cfg: ["jnp"])
+    monkeypatch.setattr(
+        autotune, "_modmul_candidates", lambda cfg: ["montgomery", "shoup"]
+    )
+    # greedy pass: shoup barely wins; montgomery within the 1.2x margin
+    costs = {"montgomery": 1.05, "shoup": 1.0}
+    monkeypatch.setattr(
+        autotune, "_time_candidate",
+        lambda cfg, iters, reps=2: costs[cfg.modmul],
+    )
+    seen = {}
+
+    def fake_playoff(finalists, iters, timings):
+        seen["tags"] = [tag for tag, _ in finalists]
+        # interleaved re-race flips the ranking
+        winner = next(cfg for tag, cfg in finalists if cfg.modmul == "montgomery")
+        return winner, 0.9
+
+    monkeypatch.setattr(autotune, "_playoff", fake_playoff)
+    best, _ = autotune.search(_cfg(1 << 10))
+    assert best.modmul == "montgomery"
+    assert seen["tags"] == ["jnp/shoup", "jnp/montgomery"]
+
+
+def test_playoff_skipped_when_clear_winner(monkeypatch):
+    """No playoff when the runner-up is outside the margin."""
+    monkeypatch.setattr(autotune, "_backend", lambda: "tpu")
+    monkeypatch.setattr(autotune, "_engine_candidates", lambda cfg: ["jnp"])
+    monkeypatch.setattr(
+        autotune, "_modmul_candidates", lambda cfg: ["montgomery", "shoup"]
+    )
+    costs = {"montgomery": 2.0, "shoup": 1.0}
+    monkeypatch.setattr(
+        autotune, "_time_candidate",
+        lambda cfg, iters, reps=2: costs[cfg.modmul],
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("playoff ran with a clear winner")
+
+    monkeypatch.setattr(autotune, "_playoff", boom)
+    best, _ = autotune.search(_cfg(1 << 10))
+    assert best.modmul == "shoup"
