@@ -24,6 +24,63 @@ import time
 import numpy as np
 
 
+def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None:
+    """Block until the TPU answers a trivial dispatch, probing in subprocesses.
+
+    The tunneled device can wedge for tens of minutes (e.g. after a killed
+    large host-to-device transfer, PERF_NOTES.md round 2) and a hung jax
+    runtime in-process is unrecoverable — so each probe runs ``jax.devices()``
+    plus one tiny jit dispatch in a fresh subprocess under a timeout, and the
+    main process only initializes jax once a probe succeeds.  Gives up (and
+    proceeds, so the failure mode is visible downstream) after ``max_wait_s``.
+    Disable with BENCH_PROBE=0.
+    """
+    import subprocess
+
+    if os.environ.get("BENCH_PROBE", "1") == "0":
+        return
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "jax.block_until_ready(jax.jit(lambda a: a + 1)"
+        "(jnp.zeros((8, 128), jnp.uint32)))"
+    )
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(
+                        f"bench: device responsive after {attempt} probes",
+                        file=sys.stderr,
+                    )
+                return
+            detail = r.stderr.decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            detail = f"probe hung {probe_timeout_s}s"
+        if time.time() >= deadline:
+            print(
+                f"bench: device still unresponsive after {attempt} probes "
+                f"({detail}); proceeding anyway",
+                file=sys.stderr,
+            )
+            return
+        wait = max(0.0, 120 - (time.time() - t0))
+        print(
+            f"bench: device probe {attempt} failed ({detail}); "
+            f"retrying in {wait:.0f} s",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+
+
 def _hbm_gbps() -> float:
     """Measured streaming bandwidth of the local chip.
 
@@ -49,6 +106,8 @@ def _hbm_gbps() -> float:
 
 
 def main() -> None:
+    _wait_for_device()
+
     import jax
 
     from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
