@@ -69,7 +69,11 @@ def exact_magic_series(m: int, margin_bits: int = 80, holdout: int = 2) -> int:
     x, mod = residues[0] % primes[0][0], primes[0][0]
     for (N, _), res in list(zip(primes, residues))[1 : len(primes) - holdout]:
         x, mod = crt_pair(x, mod, res, N)
-    assert x < mod, "CRT reconstruction overflowed its modulus product"
+    # x < mod is true by construction (crt_pair reduces); the guard that
+    # can actually fire is the modulus product covering the value bound.
+    assert mod.bit_length() > bound_bits, (
+        "CRT modulus product too small for the M(m) bit bound"
+    )
     for (N, _), res in list(zip(primes, residues))[len(primes) - holdout :]:
         assert x % N == res, f"hold-out modulus {N:#x} disagrees"
     return x

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 from ..plan import planner
 from ..plan.config import NttConfig
-from ..plan.planner import DEVICE_TWIDDLE_THRESHOLD, W_ONLY_THRESHOLD
+from ..plan.planner import W_ONLY_THRESHOLD
 from ..plan.wrapper import _resolve_engine
 
 #: Bytes per coefficient: u64 as two u32 limb planes.
@@ -101,9 +101,12 @@ def distributed_memory_budget(
     # inter-step twiddle matrix is (n0, n1) sharded over the mesh; above
     # W_ONLY_THRESHOLD the Montgomery companion is dropped (half the bytes)
     tw = n // devices * BYTES_PER_POINT
-    if DEVICE_TWIDDLE_THRESHOLD < n < W_ONLY_THRESHOLD:
+    if n < W_ONLY_THRESHOLD:
+        # planner.row_twiddles keeps the Montgomery companion below the
+        # W-only threshold on BOTH the host path (n <= device threshold)
+        # and the device-built path
         tw *= 2  # with companion
-    engine = _resolve_engine(config.engine, n)
+    engine = _resolve_engine(config.engine)
     leaf = _leaf_table_bytes(planner.build_plan(n0, engine)) + _leaf_table_bytes(
         planner.build_plan(n1, engine)
     )

@@ -91,8 +91,10 @@ def _ring_kernel(D: int, axes: tuple[str, ...]):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _canonical_all_to_all(x: jnp.ndarray, D: int, axes: tuple[str, ...]):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _canonical_all_to_all(
+    x: jnp.ndarray, D: int, axes: tuple[str, ...], collective_id: int
+):
     """(D, R, C) slab exchange: out[o] = slab x[me] as held on device o."""
     # NOTE: the enclosing shard_map must pass check_vma=False -- vma
     # tracking cannot type a pallas_call whose inputs already vary over the
@@ -108,14 +110,15 @@ def _canonical_all_to_all(x: jnp.ndarray, D: int, axes: tuple[str, ...]):
             pltpu.SemaphoreType.DMA((D,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=0
+            has_side_effects=True, collective_id=collective_id
         ),
         interpret=_use_interpret(),
     )(x)
 
 
 def ring_all_to_all_array(
-    a: jnp.ndarray, axes: tuple[str, ...], split_axis: int, concat_axis: int, D: int
+    a: jnp.ndarray, axes: tuple[str, ...], split_axis: int, concat_axis: int,
+    D: int, collective_id: int = 0,
 ) -> jnp.ndarray:
     """`jax.lax.all_to_all(a, axes, split_axis, concat_axis, tiled=True)`
     computed by the remote-DMA ring kernel.  2-D local arrays only (the
@@ -128,27 +131,40 @@ def ring_all_to_all_array(
         # (r, c) -> (D*r, c/D): chunk j of columns goes to device j
         w = c // D
         slabs = a.reshape(r, D, w).transpose(1, 0, 2)  # (D, r, w)
-        out = _canonical_all_to_all(slabs, D, axes)
+        out = _canonical_all_to_all(slabs, D, axes, collective_id)
         return out.reshape(D * r, w)
     if split_axis == 0 and concat_axis == 1:
         # (r, c) -> (r/D, D*c): chunk j of rows goes to device j
         h = r // D
         slabs = a.reshape(D, h, c)
-        out = _canonical_all_to_all(slabs, D, axes)
+        out = _canonical_all_to_all(slabs, D, axes, collective_id)
         return out.transpose(1, 0, 2).reshape(h, D * c)
     raise ValueError(f"unsupported (split_axis={split_axis}, concat_axis={concat_axis})")
 
 
 def ring_all_to_all(
-    x: U64, axes: str | tuple[str, ...], split_axis: int, concat_axis: int
+    x: U64, axes: str | tuple[str, ...], split_axis: int, concat_axis: int,
+    collective_id: int = 0,
 ) -> U64:
     """U64 wrapper with the same signature shape as parallel.sixstep's
-    XLA `_all_to_all` (drop-in selectable via DistributedNTT(comm=...))."""
+    XLA `_all_to_all` (drop-in selectable via DistributedNTT(comm=...)).
+
+    The hi and lo limb exchanges are independent back-to-back collective
+    kernels; each pallas_call in flight needs its OWN collective_id (a
+    fast device could otherwise start the lo kernel while a laggard still
+    waits inside hi, and slot-s RDMA signals from the two kernels could
+    cross-match on the shared semaphore namespace).  A call site that
+    issues several logical all-to-alls in one program must likewise pass
+    distinct even ``collective_id`` values (this function uses id and
+    id+1).
+    """
     axes = (axes,) if isinstance(axes, str) else tuple(axes)
     D = 1
     for a in axes:
         D *= jax.lax.axis_size(a)
     return U64(
-        ring_all_to_all_array(x.hi, axes, split_axis, concat_axis, D),
-        ring_all_to_all_array(x.lo, axes, split_axis, concat_axis, D),
+        ring_all_to_all_array(x.hi, axes, split_axis, concat_axis, D,
+                              collective_id),
+        ring_all_to_all_array(x.lo, axes, split_axis, concat_axis, D,
+                              collective_id + 1),
     )

@@ -112,7 +112,7 @@ class DistributedNTT:
         )
         # Local sub-transforms run full plan trees (fused Pallas leaves on
         # TPU), exactly like the single-chip wrapper's sub-NTTs.
-        engine = _resolve_engine(config.engine, config.n)
+        engine = _resolve_engine(config.engine)
         self._col_plan = planner.build_plan(n0, engine)
         self._row_plan = planner.build_plan(n1, engine)
         # Tables are built per enabled direction only (reference
@@ -174,11 +174,17 @@ class DistributedNTT:
             return self.fc.mont_mul_full(mat, w)
         return self.fc.mont_mul(mat, w, wp)
 
-    def _all_to_all(self, x: U64, split_axis: int, concat_axis: int) -> U64:
+    def _all_to_all(
+        self, x: U64, split_axis: int, concat_axis: int, cid: int = 0
+    ) -> U64:
         if self.comm == "ring":
             from .ring import ring_all_to_all
 
-            return ring_all_to_all(x, self.axes, split_axis, concat_axis)
+            # distinct collective_ids per logical all-to-all (cid, cid+1
+            # cover the hi/lo limb kernels): see ring_all_to_all docstring
+            return ring_all_to_all(
+                x, self.axes, split_axis, concat_axis, collective_id=cid
+            )
         return _all_to_all(x, self.axes, split_axis, concat_axis)
 
     # -- local (per-shard) schedules ---------------------------------------
@@ -195,12 +201,12 @@ class DistributedNTT:
         w, wp = tw  # local (n0, n1/D) each
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         # [comm 1] row shards -> column shards: (n0/D, n1) -> (n0, n1/D)
-        mat = self._all_to_all(mat, split_axis=1, concat_axis=0)
+        mat = self._all_to_all(mat, split_axis=1, concat_axis=0, cid=0)
         # column NTTs: full leading axis n0 is local
         mat = planner.run_forward(mat, self._col_plan, col_tables)
         mat = self._tw_mul(mat, w, wp)
         # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
-        mat = self._all_to_all(mat, split_axis=0, concat_axis=1)
+        mat = self._all_to_all(mat, split_axis=0, concat_axis=1, cid=2)
         # row NTTs on the (n0/D, n1) shard: a jnp row leaf runs along
         # axis 1 in place (no local transposes -- planner._jnp_mid_chunked,
         # twiddles already applied under the column sharding above)
@@ -228,9 +234,9 @@ class DistributedNTT:
             mat = planner.run_inverse(mat, self._row_plan, row_tables)
             mat = _transpose01(mat)  # (n0/D, n1)
         # undo [comm 2]
-        mat = self._all_to_all(mat, split_axis=1, concat_axis=0)
+        mat = self._all_to_all(mat, split_axis=1, concat_axis=0, cid=2)
         mat = self._tw_mul(mat, w, wp)  # undo twiddles
         mat = planner.run_inverse(mat, self._col_plan, col_tables)
         # undo [comm 1]: column shards -> row shards
-        mat = self._all_to_all(mat, split_axis=0, concat_axis=1)
+        mat = self._all_to_all(mat, split_axis=0, concat_axis=1, cid=0)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)

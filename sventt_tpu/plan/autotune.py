@@ -84,11 +84,30 @@ def _device_kind() -> str:
     return jax.devices()[0].device_kind.replace(" ", "_")
 
 
+#: Config fields that constrain the search space.  They are part of the
+#: cache key: a search run under a pinned engine/modmul/knob explores a
+#: different candidate set, so its winner must not be served to (or
+#: clobbered by) an unconstrained tune of the same (N, g, n, device).
+CONSTRAINT_FIELDS = (
+    "strategy", "engine", "modmul", "n0", "n1", "lazy",
+    "block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems",
+)
+
+
 def cache_key(config: NttConfig) -> str:
-    return (
+    base = (
         f"{config.modulus}:{config.generator}:{config.n}"
         f":{_backend()}:{_device_kind()}"
     )
+    pins = []
+    for name in CONSTRAINT_FIELDS:
+        v = getattr(config, name)
+        if v is None or v == "auto":
+            continue
+        pins.append(f"{name}={v}")
+    # Unconstrained configs keep the bare key (backward compatible with
+    # the shipped cache entries).
+    return base if not pins else f"{base}:{','.join(pins)}"
 
 
 def _log(msg: str) -> None:
@@ -397,6 +416,13 @@ def tune(
         },
         "best_ms": round(min(timings.values()), 4),
     }
+    if path == _DEFAULT_CACHE and _backend() != "tpu":
+        # The repo-shipped cache is a tuned-parameter corpus for the real
+        # device (the reference ships Fugaku-derived constants the same
+        # way); host-CPU timings are machine-local noise and would dirty
+        # the checked-in file on every developer/CI run.
+        _log("non-tpu backend: not persisting to the repo-shipped cache")
+        return best
     try:
         _save_cache(path, data)
     except OSError as e:

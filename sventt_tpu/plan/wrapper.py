@@ -44,7 +44,7 @@ def _resolve_modmul(config: NttConfig) -> str:
     return "montgomery"
 
 
-def _resolve_engine(engine: str, n: int | None = None) -> str:
+def _resolve_engine(engine: str) -> str:
     """'auto' -> jnp: the batch-chunked VMEM-resident XLA path wins at
     every measured size once each chunk's stage chain stays in VMEM
     (round 2: 2^24 forward 0.38 ms jnp-chunked vs 27.4 ms pallas -- XLA
@@ -82,7 +82,7 @@ class NTT:
         self.fc = FieldConsts.from_modulus(
             self.mod, lazy=config.lazy, modmul=_resolve_modmul(config)
         )
-        self.engine = _resolve_engine(config.engine, config.n)
+        self.engine = _resolve_engine(config.engine)
         self.plan = self._build_plan()
         self._fwd = self._inv = None
         plan = self.plan
@@ -158,9 +158,13 @@ class NTT:
                     f"mid-axis jnp m1={node.m1} "
                     "(chunked VMEM-resident, fused twiddle, no transposes)"
                 )
-            else:
+            elif isinstance(node.row, P.Leaf):
                 row = f"transposed row leaf m1={node.m1}"
+            else:
+                row = f"transposed row subtree m1={node.m1}"
             lines.append(f"{pad}split {node.m} = {node.m0} x {node.m1}: {row}")
+            if not isinstance(node.row, P.Leaf):
+                walk(node.row, depth + 1, True)
             walk(node.col, depth + 1, True)
 
         walk(self.plan, 0, batched)

@@ -180,3 +180,33 @@ def test_playoff_skipped_when_clear_winner(monkeypatch):
     monkeypatch.setattr(autotune, "_playoff", boom)
     best, _ = autotune.search(_cfg(1 << 10))
     assert best.modmul == "shoup"
+
+
+def test_cache_key_pins_constraints():
+    """A search constrained by pinned engine/modmul/knobs explores a
+    different candidate set, so its cache entry must not collide with the
+    unconstrained tune of the same (N, g, n, device)."""
+    free = autotune.cache_key(_cfg(1 << 10))
+    pinned = autotune.cache_key(_cfg(1 << 10, engine="pallas"))
+    assert free != pinned
+    assert "engine=pallas" in pinned
+    # unconstrained keys keep the legacy bare format (shipped cache stays
+    # valid)
+    assert free.count(":") == 4
+    assert autotune.cache_key(_cfg(1 << 10, modmul="shoup")) != pinned
+
+
+def test_cpu_tune_does_not_write_repo_cache(tmp_path, monkeypatch):
+    """Host-CPU timings are machine-local noise; tune() must not dirty the
+    repo-shipped default cache on a non-tpu backend."""
+    fake_default = tmp_path / "repo_cache.json"
+    monkeypatch.setattr(autotune, "_DEFAULT_CACHE", fake_default)
+    monkeypatch.delenv(autotune.CACHE_ENV, raising=False)
+    monkeypatch.setattr(autotune, "_time_candidate", lambda cfg, iters, reps=2: 1.0)
+    tuned = autotune.tune(_cfg(1 << 10, tune=True))
+    assert tuned.engine == "jnp"  # search still ran and resolved knobs
+    assert not fake_default.exists()
+    # an explicit cache path still persists (test/bench isolation)
+    explicit = tmp_path / "explicit.json"
+    autotune.tune(_cfg(1 << 10, tune=True), cache_path=explicit)
+    assert explicit.exists()

@@ -154,6 +154,22 @@ def test_describe_shows_execution_paths():
     assert "mid-axis pallas" in db  # batched: middle-axis kernels
 
 
+def test_describe_descends_into_split_row():
+    """A Split whose row child is itself a Split takes the transposed
+    fallback; describe() must surface the nested row schedule instead of
+    mislabeling it a leaf (its whole purpose is fallback visibility)."""
+    from sventt_tpu.plan import planner as P
+
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12)
+    ntt = NTT(cfg, enable_inverse=False)
+    inner = P.Split(1 << 8, 1 << 4, 1 << 4, P.Leaf(1 << 4, "jnp"),
+                    P.Leaf(1 << 4, "jnp"))
+    ntt.plan = P.Split(1 << 12, 1 << 4, 1 << 8, P.Leaf(1 << 4, "jnp"), inner)
+    d = ntt.describe()
+    assert "transposed row subtree m1=256" in d
+    assert "mid-axis jnp m1=16" in d  # the nested row split is walked
+
+
 def test_batched_transforms_match_loop(rng):
     """Serving-style batched input (n, B): every column must equal the
     corresponding single transform (round-1 VERDICT task 7's batched
