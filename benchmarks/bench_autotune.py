@@ -54,8 +54,21 @@ def run_config(name: str, force: bool) -> None:
     n = 1 << log2n
     base = NttConfig(N, g, n)
     if "--ab" not in sys.argv:
+        import os
         import subprocess
+        import tempfile
 
+        from sventt_tpu.plan import autotune
+
+        if autotune._backend() != "tpu" and autotune.CACHE_ENV not in os.environ:
+            # tune() refuses to persist non-tpu timings into the
+            # repo-shipped cache; give the parent/child A/B pair its own
+            # cache file so the child still gets a cache HIT (a re-search
+            # in the child would re-run winner verification's D2H readback
+            # -- the contaminated state the re-exec exists to avoid)
+            fd, tmp = tempfile.mkstemp(prefix="sventt_tune_", suffix=".json")
+            os.close(fd)
+            os.environ[autotune.CACHE_ENV] = tmp
         log(f"bench_autotune: tuning {name} ...")
         tune(base, force=force)  # populate the cache (clean-state search)
         sys.exit(

@@ -48,15 +48,36 @@ def probe_operand_count() -> None:
         emit({"metric": "dispatch_k_operands", "k": k, "ms": round(ms, 4)})
 
 
-def _pack_tables(tabs):
-    """Concatenate every stage plane into one u32 buffer + static offsets."""
+def _pack_tables_host(mod, n):
+    """Rebuild the stage planes with HOST math and pack them into one u32
+    buffer + static offsets.
+
+    Deliberately does NOT read back the prepared device tables: the first
+    device-to-host transfer permanently degrades the tunnel dispatch path
+    (PERF_NOTES.md round 2) -- the very effect this probe measures -- so
+    the packed buffer is recomputed from the same host twiddle schedule as
+    ops/twiddle.forward_tables (plane order w.hi, w.lo, wp.hi, wp.lo per
+    DIF stage)."""
+    from sventt_tpu.ops.twiddle import _powers
+
+    N = mod.modulus
+    omega = mod.get_root_forward(n)
     parts, offsets, off = [], [], 0
-    for pair in tabs.stages:
-        for a in (pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo):
-            a = np.asarray(a)
-            parts.append(a)
-            offsets.append((off, a.shape[0]))
-            off += a.shape[0]
+    for i in range(n.bit_length() - 2, -1, -1):
+        vals = _powers(omega, 1 << i, N)
+        wm = np.array([mod.to_montgomery(v) for v in vals], dtype=np.uint64)
+        wp = np.array(
+            [mod.montgomery_precompute(int(v)) for v in wm], dtype=np.uint64
+        )
+        for a64 in (wm, wp):
+            for plane in (
+                (a64 >> np.uint64(32)).astype(np.uint32),
+                a64.astype(np.uint32),
+            ):
+                parts.append(plane)
+                offsets.append((off, plane.shape[0]))
+                off += plane.shape[0]
+        omega = omega * omega % N
     return jnp.asarray(np.concatenate(parts)), tuple(offsets)
 
 
@@ -74,7 +95,7 @@ def probe_ntt_variants(log2n: int) -> None:
     ms = chain_time_ms(lambda s: f_args(s, tabs), x, iters=50)
     emit({"metric": f"ntt_2p{log2n}_per_stage_operands", "ms": round(ms, 4)})
 
-    packed, offsets = _pack_tables(tabs)
+    packed, offsets = _pack_tables_host(mod, n)
     stage_ls = tuple(pair.w.lo.shape[0] for pair in tabs.stages)
 
     from sventt_tpu.ops.twiddle import MontPair
@@ -104,6 +125,14 @@ def probe_ntt_variants(log2n: int) -> None:
     f_baked = jax.jit(lambda v: ntt_forward(v, tabs, fc))
     ms = chain_time_ms(lambda s: f_baked(s), x, iters=50)
     emit({"metric": f"ntt_2p{log2n}_baked_tables", "ms": round(ms, 4)})
+
+    # all clocks stopped: D2H is allowed now.  The host-rebuilt packed
+    # tables must produce the identical transform.
+    a, b = f_args(x, tabs), f_packed(x, packed)
+    assert bool(
+        np.array_equal(np.asarray(a.hi), np.asarray(b.hi))
+        and np.array_equal(np.asarray(a.lo), np.asarray(b.lo))
+    ), "packed-table reconstruction diverged from prepared tables"
 
 
 def main() -> None:

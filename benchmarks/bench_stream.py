@@ -81,16 +81,20 @@ def bench_all_to_all(quick: bool) -> None:
         )
 
         ms = chain_time_ms(a2a, x) / 2  # two all-to-alls per step
-        # bytes crossing the interconnect: each device sends (d-1)/d of shard
+        # each device's shard is per_dev bytes; it sends (d-1)/d of it.
+        # egress/time is per-DEVICE bandwidth; the fleet-wide total over
+        # time is AGGREGATE interconnect bandwidth (d concurrent senders),
+        # not a per-link rate -- labeling matters for roofline calibration.
         per_dev = n // d * 4
-        moved = per_dev * (d - 1)
+        egress = per_dev * (d - 1) // d
         emit(
             {
                 "kind": "all_to_all",
                 "devices": d,
                 "bytes_per_device": per_dev,
                 "ms": round(ms, 4),
-                "gbps_per_link": round(moved / (ms / 1e3) / 1e9, 2),
+                "gbps_per_device": round(egress / (ms / 1e3) / 1e9, 2),
+                "aggregate_gbps": round(d * egress / (ms / 1e3) / 1e9, 2),
             }
         )
 

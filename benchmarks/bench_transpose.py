@@ -5,6 +5,11 @@ The analogue of the reference's bench-transpose autotuning corpus
 shape, verified by inverse-transpose after timing).  Results feed the
 strategy choice in ops/transpose.py.
 
+ALL timing happens before the first device-to-host readback: the first
+D2H permanently degrades the tunnel dispatch path to ~1.5 ms/call for the
+rest of the process (PERF_NOTES.md round 2), so verification is a second
+pass after every clock has stopped -- same discipline as bench.py.
+
 Emits one JSON line per point:
   {"strategy", "rows", "cols", "block", "ms", "gbps", "verified"}
 
@@ -21,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.common import chain_time_ms, emit, log
+from benchmarks.common import emit, log
 from sventt_tpu.ops.transpose import transpose_pallas, transpose_xla
 
 SHAPES = [(1024, 1024), (4096, 4096), (256, 16384), (16384, 256)]
@@ -51,28 +56,20 @@ def main() -> None:
     quick = "--quick" in sys.argv
     shapes = SHAPES[:2] if quick else SHAPES
     rng = np.random.default_rng(0)
+
+    # Pass 1: time every point.  No readbacks anywhere in this pass.
+    inputs: dict[tuple[int, int], jax.Array] = {}
+    rows: list[dict] = []
     for r, c in shapes:
         x = jax.device_put(
             jnp.asarray(rng.integers(0, 1 << 32, (r, c), dtype=np.uint32))
         )
-        want = np.asarray(x).T
+        inputs[(r, c)] = x
 
         ms = _alt_chain_ms(
             lambda: jax.jit(lambda a: transpose_xla(a) + jnp.uint32(1)), x
         )
-        ok = bool((np.asarray(jax.jit(transpose_xla)(x)) == want).all())
-        gbps = r * c * 4 * 2 / (ms / 1e3) / 1e9
-        emit(
-            {
-                "strategy": "xla",
-                "rows": r,
-                "cols": c,
-                "block": None,
-                "ms": round(ms, 4),
-                "gbps": round(gbps, 1),
-                "verified": ok,
-            }
-        )
+        rows.append({"strategy": "xla", "rows": r, "cols": c, "block": None, "ms": ms})
 
         for b in BLOCKS:
             if r % b or c % b:
@@ -84,23 +81,27 @@ def main() -> None:
                     ),
                     x,
                 )
-                ok = bool(
-                    (np.asarray(transpose_pallas(x, b, b)) == want).all()
-                )
-                gbps = r * c * 4 * 2 / (ms / 1e3) / 1e9
-                emit(
-                    {
-                        "strategy": "pallas",
-                        "rows": r,
-                        "cols": c,
-                        "block": b,
-                        "ms": round(ms, 4),
-                        "gbps": round(gbps, 1),
-                        "verified": ok,
-                    }
+                rows.append(
+                    {"strategy": "pallas", "rows": r, "cols": c, "block": b, "ms": ms}
                 )
             except Exception as e:  # noqa: BLE001 -- strategy may not compile
                 log(f"pallas {r}x{c} block {b}: {str(e)[:120]}")
+
+    # Pass 2: clocks have stopped; verify (first D2H happens here) and emit.
+    wants: dict[tuple[int, int], np.ndarray] = {}
+    for row in rows:
+        r, c = row["rows"], row["cols"]
+        x = inputs[(r, c)]
+        if (r, c) not in wants:
+            wants[(r, c)] = np.asarray(x).T
+        if row["strategy"] == "xla":
+            out = jax.jit(transpose_xla)(x)
+        else:
+            out = transpose_pallas(x, row["block"], row["block"])
+        ok = bool((np.asarray(out) == wants[(r, c)]).all())
+        ms = row.pop("ms")
+        gbps = r * c * 4 * 2 / (ms / 1e3) / 1e9
+        emit({**row, "ms": round(ms, 4), "gbps": round(gbps, 1), "verified": ok})
 
 
 if __name__ == "__main__":

@@ -20,21 +20,22 @@ import time
 
 sys.path.insert(0, ".")
 
-from sventt_tpu.apps.kinnaes import _small_primes, kinnaes_magic_series_count_host
+from sventt_tpu.apps.kinnaes import kinnaes_length, kinnaes_magic_series_count_host
 from sventt_tpu.apps.series import magic_series_count
 from sventt_tpu.field.modulus import find_generator, is_probable_prime
 
 
-def shared_modulus(m: int, bits: int = 62, two_adicity: int = 15):
+def shared_modulus(m: int, bits: int = 62, two_adicity: int | None = None):
     """Prime N with 2^two_adicity | N-1 and odd n > r, min factor > m,
-    n | N-1 -- valid for both the NTT pipeline and the Kinnaes sum."""
+    n | N-1 -- valid for both the NTT pipeline and the Kinnaes sum.
+
+    ``two_adicity`` defaults to what the convolution pipeline actually
+    needs for this m: the linear convolution length 2r+1 rounds up to a
+    2^ceil(log2(2r+1))-point transform (a fixed 15 broke m >= 33)."""
     r = m * m * (m - 1) // 2
-    primes = _small_primes(max(m, 3))
-    # Smallest odd n > r (add 1 only when r + 1 is even), then step by 2 --
-    # same parity logic as kinnaes_parameters().
-    n = r + 1 + (r % 2 == 1)
-    while not all(n % int(p) for p in primes):
-        n += 2
+    if two_adicity is None:
+        two_adicity = (2 * r).bit_length()
+    n = kinnaes_length(m)
     step = n << two_adicity
     j = ((1 << bits) - 2) // step
     while j > 0:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..field.limb import FieldConsts, U64, u64_from_int, u64_from_numpy
+from ..field.limb import FieldConsts, U64, u64_from_int
 from ..field.modulus import Modulus
 
 
@@ -40,6 +40,24 @@ def _small_primes(limit: int):
         if sieve[p]:
             sieve[p * p :: p] = False
     return np.flatnonzero(sieve)
+
+
+def kinnaes_length(m: int) -> int:
+    """Smallest odd n > r = m^2(m-1)/2 whose prime factors all exceed m.
+
+    The closed form needs n > r for exactness and every denominator factor
+    (w^{jl} - 1, l <= m) nonzero at all n-th roots with j != 0 -- hence no
+    prime factor of n may be <= m.  Single source of the n-search shared by
+    ``kinnaes_parameters`` and examples/magic_series_crosscheck.
+    """
+    r = m * m * (m - 1) // 2
+    primes = _small_primes(max(m, 3))
+    n = r + 1
+    if n % 2 == 0:
+        n += 1
+    while not all(n % int(p) for p in primes):
+        n += 2
+    return n
 
 
 def kinnaes_parameters(m: int, bits: int = 62, skip: int = 0) -> tuple[int, int, int]:
@@ -56,15 +74,7 @@ def kinnaes_parameters(m: int, bits: int = 62, skip: int = 0) -> tuple[int, int,
     reference likewise scans n in (r, 2r) requiring min prime factor > m,
     then collects primes N = k*n + 1.
     """
-    r = m * m * (m - 1) // 2
-    primes = _small_primes(max(m, 3))
-    n = r + 1
-    if n % 2 == 0:
-        n += 1
-    while True:
-        if all(n % int(p) for p in primes):
-            break
-        n += 2
+    n = kinnaes_length(m)
     # Largest primes N = k*n + 1 below 2^bits, descending.
     from ..field.modulus import find_generator, is_probable_prime
 
@@ -110,12 +120,28 @@ def kinnaes_magic_series_count_host(
 # -- device implementation ----------------------------------------------------
 
 
-def _pow_by_lane_index(
-    fc: FieldConsts, mod: Modulus, base: int, j: np.ndarray
-) -> U64:
-    """base^{j} per lane in **Montgomery form**, by binary powering.
+def _mont_one(mod: Modulus, shape) -> U64:
+    """Montgomery form of 1 (= R mod N) broadcast to ``shape``.
 
-    All products run in the Montgomery domain so each step is a single
+    Built with ``jnp.full`` so inside jit it traces to a scalar broadcast --
+    an O(n/2) host array here would be baked into the HLO as a literal and
+    re-shipped per call (CLAUDE.md: pass/construct arrays, don't close over
+    them)."""
+    r = mod.montgomery_r
+    return U64(
+        jnp.full(shape, np.uint32(r >> 32), jnp.uint32),
+        jnp.full(shape, np.uint32(r & 0xFFFFFFFF), jnp.uint32),
+    )
+
+
+def _pow_by_lane_index(
+    fc: FieldConsts, mod: Modulus, base: int, jd: jnp.ndarray, bits: int
+) -> U64:
+    """base^{jd} per lane in **Montgomery form**, by binary powering.
+
+    ``jd`` is a traced uint32 lane-index array (a jit argument, not a baked
+    constant) and ``bits`` the static number of index bits to scan.  All
+    products run in the Montgomery domain so each step is a single
     ``mont_mul_full`` -- the squared base is a host int converted with
     ``to_montgomery`` per bit (the role of the reference's per-lane powering
     in kinnaes.hpp:107-124, restructured so no R^2 correction multiplies are
@@ -124,11 +150,8 @@ def _pow_by_lane_index(
     from ..field.limb import u64_select
 
     N = mod.modulus
-    bits = int(j.max()).bit_length() if j.size else 0
-    # Montgomery form of 1 is R mod N.
-    result = u64_from_numpy(np.full(j.shape, mod.montgomery_r, dtype=np.uint64))
+    result = _mont_one(mod, jd.shape)
     sq = base % N
-    jd = jnp.asarray(j.astype(np.uint32))
     for b in range(bits):
         mult = fc.mont_mul_full(result, u64_from_int(mod.to_montgomery(sq)))
         take = (jd >> np.uint32(b)) & np.uint32(1) != 0
@@ -198,16 +221,24 @@ def kinnaes_magic_series_count(
     fc = FieldConsts.from_modulus(mod, lazy=False)
     w = mod.get_root_forward(n)
 
-    j = np.arange(1, n // 2 + 1, dtype=np.uint64)
+    bits = (n // 2).bit_length()  # max lane index is n // 2
     mul = fc.mont_mul_full  # Montgomery-domain product (aR * bR -> abR)
 
+    # Two SEPARATE jit programs, not one: compiling the powering/product
+    # loop and the fraction-reduction tree into a single XLA module makes
+    # XLA:CPU re-materialize the producer chain into every reduction
+    # level's consumers (measured: m=8, 113 lanes, 20 s runtime in one
+    # module vs ~5 ms split; optimization_barrier does not cut it).  Two
+    # dispatches chain asynchronously, so the extra hop costs nothing.
     @jax.jit
-    def compute():
-        wj = _pow_by_lane_index(fc, mod, w, j)  # w^j per lane, Mont form
-        t_num0 = _pow_by_lane_index(fc, mod, pow(w, m * m - m + 1, N), j)
-        one = u64_from_numpy(
-            np.full(j.shape, mod.montgomery_r, dtype=np.uint64)
-        )
+    def per_lane_terms(jd):
+        # jd (the O(n/2) lane-index vector) is a jit ARGUMENT and the
+        # Montgomery-one vectors are in-trace broadcasts: nothing
+        # O(n)-sized is closed over (closures are baked into the HLO and
+        # re-shipped through the tunnel per call, CLAUDE.md).
+        wj = _pow_by_lane_index(fc, mod, w, jd, bits)  # w^j, Mont form
+        t_num0 = _pow_by_lane_index(fc, mod, pow(w, m * m - m + 1, N), jd, bits)
+        one = _mont_one(mod, jd.shape)
 
         def body(_, carry):
             num, den, t_num, t_den = carry
@@ -220,10 +251,15 @@ def kinnaes_magic_series_count(
         num, den, _, _ = jax.lax.fori_loop(
             0, m, body, (one, one, t_num0, wj)
         )
-        den = mul(den, _pow_by_lane_index(fc, mod, pow(w, r, N), j))
+        den = mul(den, _pow_by_lane_index(fc, mod, pow(w, r, N), jd, bits))
+        return num, den
+
+    @jax.jit
+    def reduce_terms(num, den):
         return _reduce_fractions(fc, num, den, mul)
 
-    s_num, s_den = compute()
+    jd = jnp.arange(1, n // 2 + 1, dtype=jnp.uint32)
+    s_num, s_den = reduce_terms(*per_lane_terms(jd))
 
     def scalar(x: U64) -> int:
         return (int(np.asarray(x.hi)[0]) << 32) | int(np.asarray(x.lo)[0])

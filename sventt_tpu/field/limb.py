@@ -25,7 +25,7 @@ Range discipline (SURVEY.md section 4.2):  with ``lazy=True`` (requires
 ``bit_width(N) <= 62``) values live in the redundant range [0, 2N) and the
 harness compares residues mod N; ``lazy=False`` keeps canonical [0, N) with
 carry-aware paths and supports moduli up to 2^64 (the flagship modulus
-``2^64 - 1827*2^32 + 1`` is 64-bit).
+``2^64 - 1827*2^31 + 1`` is 64-bit).
 """
 
 from __future__ import annotations

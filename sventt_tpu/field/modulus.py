@@ -20,7 +20,7 @@ from dataclasses import dataclass
 MASK64 = (1 << 64) - 1
 MASK32 = (1 << 32) - 1
 
-#: The flagship 64-bit modulus ``2^64 - 1827*2^32 + 1`` with generator 3
+#: The flagship 64-bit modulus ``2^64 - 1827*2^31 + 1`` with generator 3
 #: (reference README.md:18-19); ``N - 1`` is divisible by ``2^31`` so it
 #: supports power-of-two transforms up to ``2^31`` points.
 FLAGSHIP_MODULUS = 0xFFFF_FC6E_8000_0001
@@ -176,23 +176,31 @@ class Modulus:
         every twiddle (reference modmul/scalar/p-adic-64.hpp:26-29)."""
         return b * self.montgomery_inverse & MASK64
 
-    def montgomery_multiply(self, a: int, b: int, bp: int | None = None) -> int:
+    def montgomery_multiply(
+        self, a: int, b: int, bp: int | None = None, lazy: bool | None = None
+    ) -> int:
         """Bit-exact model of the device Montgomery multiply.
 
-        For bit_width(N) <= 63 returns ``hi64(a*b) - hi64(lo64(a*bp)*N) + N``
-        which lies in (0, 2N) -- the lazy/redundant range
-        (reference modmul/scalar/p-adic-64.hpp:35-45, sve/p-adic-64.hpp:88-89).
-        For 64-bit moduli the +N is applied only on borrow, yielding a
-        canonical [0, N) result (reference modmul/sve/p-adic-64.hpp:90-92).
-        Computed mod 2^64 exactly as the hardware does so tests can check the
-        *representative*, not just the residue.
+        ``lazy`` (default: the FieldConsts gate, bit_width(N) <= 62) selects
+        the representative exactly as the device engine does: the lazy path
+        returns ``hi64(a*b) - hi64(lo64(a*bp)*N) + N`` in (0, 2N) -- the
+        lazy/redundant range (reference modmul/scalar/p-adic-64.hpp:35-45,
+        sve/p-adic-64.hpp:88-89); the canonical path applies +N only on
+        borrow, the min-trick's [0, N) result (reference
+        modmul/sve/p-adic-64.hpp:90-92, 101-115).  Computed mod 2^64 exactly
+        as the hardware does so tests can check the *representative*, not
+        just the residue.
         """
         if bp is None:
             bp = self.montgomery_precompute(b)
+        if lazy is None:
+            # must match FieldConsts.from_modulus: 63-bit moduli run the
+            # canonical device path (4N < 2^64 fails), not the lazy one
+            lazy = self.bit_width <= 62
         q = a * bp & MASK64
         ab1 = a * b >> 64
         qn1 = q * self.modulus >> 64
-        if self.bit_width <= 63:
+        if lazy:
             return (ab1 - qn1 + self.modulus) & MASK64
         c = (ab1 - qn1) & MASK64
         if ab1 < qn1:

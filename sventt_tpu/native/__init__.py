@@ -51,7 +51,15 @@ def _load() -> ctypes.CDLL | None:
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
-            return None
+            # a committed/stale .so can be for another OS or arch (dlopen
+            # fails even though the file exists); rebuild from source once
+            # and retry before giving up the oracle
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
         u64 = ctypes.c_uint64
         p64 = ctypes.POINTER(ctypes.c_uint64)
         lib.sventt_powmod.restype = u64

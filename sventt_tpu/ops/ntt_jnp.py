@@ -22,10 +22,6 @@ from ..field.limb import U64, FieldConsts
 from .twiddle import ForwardTables, InverseTables, MontPair
 
 
-def _u64_reshape(x: U64, shape) -> U64:
-    return U64(x.hi.reshape(shape), x.lo.reshape(shape))
-
-
 def _u64_bcast(x: U64, shape) -> U64:
     return U64(x.hi.reshape(shape), x.lo.reshape(shape))
 

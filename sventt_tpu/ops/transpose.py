@@ -42,6 +42,11 @@ def transpose_pallas(x: jnp.ndarray, br: int = 256, bc: int = 256) -> jnp.ndarra
     Requires R % br == 0 and C % bc == 0.
     """
     r, c = x.shape
+    if r % br or c % bc:
+        raise ValueError(
+            f"shape ({r}, {c}) not divisible by blocks ({br}, {bc}); "
+            "a floor-divided grid would silently drop the remainder"
+        )
 
     def kernel(x_ref, o_ref):
         o_ref[:] = x_ref[:].T

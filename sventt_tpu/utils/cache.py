@@ -16,8 +16,11 @@ import threading
 from ..plan.config import NttConfig
 from ..plan.wrapper import NTT
 
+#: Guards the dicts only -- NEVER held across NTT construction (table prep
+#: takes seconds to minutes; unrelated configs must not serialize on it).
 _lock = threading.Lock()
-_cache: dict[tuple, NTT] = {}
+_cache: dict[NttConfig, NTT] = {}
+_building: dict[NttConfig, threading.Lock] = {}
 
 
 def cached_ntt(
@@ -25,21 +28,28 @@ def cached_ntt(
 ) -> NTT:
     """The process-wide NTT instance for this config (constructed once).
 
-    A cached instance always has at least the requested directions enabled;
-    requesting more directions than a cached instance has re-prepares it.
+    Cached instances are always built with both directions enabled, so any
+    combination of the ``enable_*`` flags is satisfied by the same entry
+    (the flags exist for signature parity with ``NTT``).  Construction runs
+    under a per-config lock: two threads warming different configs build
+    concurrently, two threads racing the same config build it once.
     """
-    key = (config, True, True)  # cache fully-enabled instances only
     with _lock:
-        ntt = _cache.get(key)
-        if ntt is None or (
-            (enable_forward and ntt._fwd is None)
-            or (enable_inverse and ntt._inv is None)
-        ):
+        ntt = _cache.get(config)
+        if ntt is not None:
+            return ntt
+        keylock = _building.setdefault(config, threading.Lock())
+    with keylock:
+        with _lock:
+            ntt = _cache.get(config)
+        if ntt is None:
             ntt = NTT(config, enable_forward=True, enable_inverse=True)
-            _cache[key] = ntt
+            with _lock:
+                _cache[config] = ntt
         return ntt
 
 
 def clear_ntt_cache() -> None:
     with _lock:
         _cache.clear()
+        _building.clear()

@@ -67,10 +67,17 @@ def test_montgomery_multiply_model(mod):
             bm = mod.to_montgomery(b)
             c = mod.montgomery_multiply(a, bm)
             assert c % N == a * b % N
-            if mod.bit_width <= 63:
+            if mod.bit_width <= 62:
                 assert 0 <= c < 2 * N  # lazy range contract
             else:
-                assert 0 <= c < N  # canonical for 64-bit moduli
+                # 63- and 64-bit moduli run the canonical device path
+                # (FieldConsts lazy gate is bit_width <= 62)
+                assert 0 <= c < N
+            # explicit representative selection mirrors both device paths
+            assert mod.montgomery_multiply(a, bm, lazy=False) < N
+            if mod.bit_width <= 63:  # lazy (0, 2N) must fit in 64 bits
+                lz = mod.montgomery_multiply(a, bm, lazy=True)
+                assert lz % N == a * b % N and lz < 2 * N
 
 
 @pytest.mark.parametrize("mod", MODULI, ids=lambda m: hex(m.modulus))
@@ -117,3 +124,30 @@ def test_prime_search():
     assert (n - 1) % (1 << 40) == 0
     assert pow(g, (n - 1) // 2, n) == n - 1  # g is a non-residue
     assert find_generator(GOLDILOCKS_MODULUS) == 7
+
+
+def test_montgomery_model_63bit_matches_device_representative():
+    """Exactly-63-bit moduli run the canonical device path (the FieldConsts
+    lazy gate is bit_width <= 62); the host model must return the same
+    REPRESENTATIVE as fc.mont_mul_full, not just the same residue
+    (round-2 review finding: the model used a <= 63 lazy gate)."""
+    import numpy as np
+
+    from sventt_tpu.field.limb import FieldConsts, u64_from_numpy, u64_to_numpy
+    from sventt_tpu.field.modulus import find_ntt_prime
+
+    N, g = find_ntt_prime(63, 8)
+    mod = Modulus(N, g)
+    assert mod.bit_width == 63
+    fc = FieldConsts.from_modulus(mod)
+    assert fc.lazy is False
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, N, 64, dtype=np.uint64)
+    b = rng.integers(0, N, 64, dtype=np.uint64)
+    got = u64_to_numpy(fc.mont_mul_full(u64_from_numpy(a), u64_from_numpy(b)))
+    for i in range(64):
+        want = mod.montgomery_multiply(
+            int(a[i]), int(b[i]), bp=mod.montgomery_precompute(int(b[i]))
+        )
+        assert int(got[i]) == want
+        assert want < N  # canonical representative

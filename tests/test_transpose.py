@@ -28,3 +28,16 @@ def test_transpose_u64_strategies(rng):
     b = transpose_u64(U64(hi, lo), "pallas", br=8, bc=8)
     np.testing.assert_array_equal(np.asarray(a.hi), np.asarray(b.hi))
     np.testing.assert_array_equal(np.asarray(a.lo), np.asarray(b.lo))
+
+
+def test_transpose_pallas_rejects_indivisible_shapes():
+    """A floor-divided grid would silently drop the remainder rows/cols
+    (round-2 review finding); indivisible shapes must raise."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sventt_tpu.ops.transpose import transpose_pallas
+
+    x = jnp.zeros((300, 256), jnp.uint32)
+    with pytest.raises(ValueError, match="not divisible"):
+        transpose_pallas(x, br=256, bc=256)
