@@ -45,3 +45,32 @@ def test_batched_sixstep(rng):
     # column 0 vs flat single-batch path
     flat = ntt.forward_numpy(x[:, 0])
     np.testing.assert_array_equal(out[:, 0], flat)
+
+
+def test_phase_breakdown_walks_the_plan():
+    """phase_breakdown reports one row phase per split level plus the
+    final column leaf and the whole transform, at the plan's own shapes
+    (the PERF_NOTES '2^24 phase split' methodology, packaged)."""
+    from sventt_tpu.plan import NTT, NttConfig
+    from sventt_tpu.utils import phase_breakdown
+
+    ntt = NTT(
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 15),
+        enable_inverse=False,
+    )
+    bd = phase_breakdown(ntt, iters=2)
+    assert "total" in bd
+    assert any(k.startswith("level0.rows") for k in bd)
+    assert any("col leaf" in k for k in bd)
+    assert all(v > 0 for v in bd.values())
+
+    # non-jnp rows fall back to timing the inter-step twiddle multiply
+    ntt_p = NTT(
+        NttConfig(
+            TEST_MODULUS, TEST_GENERATOR, 1 << 10, engine="pallas",
+            strategy="six_step", n0=1 << 5, n1=1 << 5,
+        ),
+        enable_inverse=False,
+    )
+    bd_p = phase_breakdown(ntt_p, iters=2)
+    assert any("inter-step tw" in k for k in bd_p)
