@@ -29,7 +29,13 @@ import numpy as np
 from benchmarks.common import emit, log
 from sventt_tpu.ops.transpose import transpose_pallas, transpose_xla
 
-SHAPES = [(1024, 1024), (4096, 4096), (256, 16384), (16384, 256)]
+#: Square, moderately skewed, and the 2^24 six-step row-matrix shapes
+#: (256 x 65536 measured at 64 GB/s vs 179 GB/s square in round 1 --
+#: the skew penalty that motivated the transpose-free mid-axis schedule).
+SHAPES = [
+    (1024, 1024), (4096, 4096), (256, 16384), (16384, 256),
+    (256, 65536), (65536, 256),
+]
 BLOCKS = [128, 256, 512]
 
 
