@@ -188,3 +188,28 @@ def test_batched_transforms_match_loop(rng):
         ntt.fc.normalize(ntt.compute_inverse(u64_from_numpy(out)))
     )
     np.testing.assert_array_equal(back, x)
+
+
+def test_random_prime_width_matrix(rng):
+    """Modulus genericity sweep: for each width 60..64 draw a fresh NTT
+    prime (seeded search) and check the full wrapper against the golden
+    model plus roundtrip -- the role of the reference's random 60-64-bit
+    prime matrix (reference test-magic-series.cpp:22-39) applied to the
+    transform itself."""
+    from sventt_tpu.field.golden import GoldenNTT
+    from sventt_tpu.field.modulus import Modulus, find_ntt_prime
+
+    n = 1 << 8
+    for bits in (60, 61, 62, 63, 64):
+        # deterministic but width-dependent starting point inside the range
+        start = (1 << bits) - 1 - (bits * 12345 << 20)
+        N, g = find_ntt_prime(bits, n.bit_length() - 1, start=start)
+        mod = Modulus(N, g)
+        assert mod.bit_width == bits
+        cfg = NttConfig(N, g, n)
+        ntt = NTT(cfg)
+        x = rng.integers(0, N, n, dtype=np.uint64)
+        out = ntt.forward_numpy(x)
+        want = GoldenNTT(n, mod).forward([int(v) for v in x])
+        assert [int(v) for v in out] == [w % N for w in want], hex(N)
+        assert (ntt.inverse_numpy(out) == x).all(), hex(N)
