@@ -107,6 +107,9 @@ class DistributedNTT:
         self.D = D
         self.n0, self.n1 = n0, n1
         mod = config.mod
+        self.mod = mod  # API parity with the single-chip NTT wrapper:
+        # apps (cyclic_convolve, chunked series division) duck-type over
+        # either transform object
         self.fc = FieldConsts.from_modulus(
             mod, lazy=config.lazy, modmul=_resolve_modmul(config)
         )

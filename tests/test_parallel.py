@@ -71,6 +71,29 @@ def test_distributed_roundtrip(mesh, rng):
     np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
 
 
+def test_distributed_cyclic_convolution(mesh, rng):
+    """apps.cyclic_convolve duck-types over DistributedNTT: the whole
+    forward -> Montgomery pointwise product -> inverse pipeline runs
+    row-sharded on the mesh and matches the single-chip convolver."""
+    from sventt_tpu.apps.convolve import cyclic_convolve, make_convolver
+
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step")
+    dntt = DistributedNTT(cfg, mesh)
+    a = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    b = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    ad = jax.device_put(u64_from_numpy(a), dntt.sharding())
+    bd = jax.device_put(u64_from_numpy(b), dntt.sharding())
+    got = u64_to_numpy(dntt.fc.normalize(cyclic_convolve(dntt, ad, bd)))
+
+    sntt = make_convolver(TEST_MODULUS, TEST_GENERATOR, cfg.n)
+    want = u64_to_numpy(
+        sntt.fc.normalize(
+            cyclic_convolve(sntt, u64_from_numpy(a), u64_from_numpy(b))
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_output_stays_sharded(mesh, rng):
     """Forward output must remain row-sharded (no implicit gather)."""
     cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step")
