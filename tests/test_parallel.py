@@ -94,6 +94,19 @@ def test_distributed_cyclic_convolution(mesh, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_distributed_magic_series(mesh):
+    """The reference's end-to-end model (magic-series count via chunked
+    power-series division) with every NTT convolution running on the
+    mesh: apps inject a DistributedNTT, result must be the exact M(6)."""
+    from sventt_tpu.apps.series import magic_series_count
+
+    dntt = DistributedNTT(
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 256, strategy="six_step"),
+        mesh,
+    )
+    assert magic_series_count(6, TEST_MODULUS, TEST_GENERATOR, ntt=dntt) == 32134
+
+
 def test_output_stays_sharded(mesh, rng):
     """Forward output must remain row-sharded (no implicit gather)."""
     cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step")
