@@ -33,12 +33,17 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None
     plus one tiny jit dispatch in a fresh subprocess under a timeout, and the
     main process only initializes jax once a probe succeeds.  Gives up (and
     proceeds, so the failure mode is visible downstream) after ``max_wait_s``.
-    Disable with BENCH_PROBE=0.
+    If the device never answers, EXITS non-zero: proceeding would hang
+    forever inside jax initialization (outages of many hours observed),
+    and a hung benchmark is worse for the calling harness than a clean
+    failure.  Disable with BENCH_PROBE=0; lengthen with
+    BENCH_MAX_WAIT_S.
     """
     import subprocess
 
     if os.environ.get("BENCH_PROBE", "1") == "0":
         return
+    max_wait_s = int(os.environ.get("BENCH_MAX_WAIT_S", max_wait_s))
     code = (
         "import jax, jax.numpy as jnp;"
         "jax.block_until_ready(jax.jit(lambda a: a + 1)"
@@ -68,10 +73,11 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None
         if time.time() >= deadline:
             print(
                 f"bench: device still unresponsive after {attempt} probes "
-                f"({detail}); proceeding anyway",
+                f"over {max_wait_s} s ({detail}); aborting -- initializing "
+                "jax now would hang indefinitely",
                 file=sys.stderr,
             )
-            return
+            sys.exit(2)
         wait = max(0.0, 120 - (time.time() - t0))
         print(
             f"bench: device probe {attempt} failed ({detail}); "
