@@ -153,18 +153,26 @@ def main() -> None:
     hbm_gbps = _hbm_gbps()
 
     # Chained dependent calls inside one block: single-call timings through
-    # the axon tunnel carry a flat ~27 ms completion-poll latency.  Best of
-    # three chains (tunnel jitter at the 0.1 ms scale is comparable to the
-    # measurement itself).
-    chain = max(iters, 10)
-    ms = float("inf")
-    for _ in range(3):
+    # the axon tunnel carry a flat ~27 ms completion-poll latency.  The
+    # chain is lengthened adaptively until one chain takes >= 50 ms of wall
+    # time (the autotuner's MIN_CHAIN_S methodology, plan/autotune.py) --
+    # at the 0.1 ms/call scale a 10-call chain is dominated by tunnel
+    # jitter.  Best of three full-length chains.
+    def chain_ms(k: int) -> float:
         y = x
         t0 = time.perf_counter()
-        for _ in range(chain):
+        for _ in range(k):
             y = ntt.compute_forward(y)
         jax.block_until_ready(y)
-        ms = min(ms, (time.perf_counter() - t0) / chain * 1e3)
+        return (time.perf_counter() - t0) / k * 1e3
+
+    chain = max(iters, 10)
+    ms = chain_ms(chain)
+    while chain < 512 and ms * chain < 50.0:
+        chain = min(512, chain * 2)
+        ms = chain_ms(chain)
+    for _ in range(2):
+        ms = min(ms, chain_ms(chain))
 
     from sventt_tpu import native
     from sventt_tpu.field.limb import u64_to_numpy

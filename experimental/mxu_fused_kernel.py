@@ -98,17 +98,20 @@ def mxu_ntt(xh, xl, M_stack):
 t0 = time.perf_counter()
 out = jax.block_until_ready(mxu_ntt(xh, xl, M_stack))
 print(f"compile {time.perf_counter()-t0:.1f}s", flush=True)
+# TIME BEFORE ANY D2H: the first readback permanently degrades the tunnel
+# dispatch path ~1.5 ms/call (PERF_NOTES.md round 2; rounds 1-2 of this
+# re-test timed after the golden check and carried that penalty).
+s = (xh, xl); t0 = time.perf_counter()
+for _ in range(20):
+    o = mxu_ntt(s[0], s[1], M_stack); s = (o.hi, o.lo)
+jax.block_until_ready(o)
+dt = (time.perf_counter()-t0)/20*1e3
 outn = u64_to_numpy(out)
 golden = GoldenNTT(R, mod)
 for col in (0, 7777):
     got = [int(v) for v in outn[:, col]]
     want = golden.forward([int(v) for v in xu[:, col]])
     print(f"golden col {col}:", got == want, flush=True)
-s = (xh, xl); t0 = time.perf_counter()
-for _ in range(20):
-    o = mxu_ntt(s[0], s[1], M_stack); s = (o.hi, o.lo)
-jax.block_until_ready(o)
-dt = (time.perf_counter()-t0)/20*1e3
 pts = R * B
 print(f"mxu10 fused R={R} B={B}: {dt:.3f} ms -> {pts/dt*1e3/1e9:.2f} Gpts/s "
       f"({pts*7/2/dt*1e3/1e9:.1f} Gbfly-equiv/s)", flush=True)

@@ -72,3 +72,28 @@ def transpose_u64(x: U64, strategy: str = "xla", **kw) -> U64:
     if strategy == "pallas":
         return U64(transpose_pallas(x.hi, **kw), transpose_pallas(x.lo, **kw))
     raise ValueError(f"unknown transpose strategy {strategy!r}")
+
+
+def transpose01_u64(x: U64, strategy: str | None = None, block: int = 256) -> U64:
+    """Swap the two leading axes of a U64 with a configurable strategy.
+
+    The transform paths' transpose entry point (``NttConfig.transpose``):
+    the default six-step schedules are transpose-FREE (lane-axis and
+    middle-axis row kernels), so this only runs on fallback paths -- deep
+    row subtrees and non-jnp distributed row plans.  ``strategy`` None or
+    "auto" resolves to "xla"; "pallas" uses the blocked kernel when the
+    shape is 2-D with block-divisible axes (its win over XLA is
+    shape-dependent -- measure with benchmarks/bench_transpose.py, the
+    reference's bench-transpose corpus role) and falls back to XLA
+    otherwise.
+    """
+    if strategy in (None, "auto"):
+        strategy = "xla"
+    if (
+        strategy == "pallas"
+        and x.lo.ndim == 2
+        and x.lo.shape[0] % block == 0
+        and x.lo.shape[1] % block == 0
+    ):
+        return transpose_u64(x, "pallas", br=block, bc=block)
+    return U64(transpose_xla(x.hi), transpose_xla(x.lo))

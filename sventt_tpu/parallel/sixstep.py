@@ -26,7 +26,6 @@ kernel/recursive.hpp:116-139).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..field.limb import U64, FieldConsts
@@ -50,9 +49,10 @@ def _all_to_all(x: U64, axis: str, split_axis: int, concat_axis: int) -> U64:
     )
 
 
-def _transpose01(x: U64) -> U64:
-    perm = (1, 0) + tuple(range(2, x.lo.ndim))
-    return _u64_map(lambda a: jnp.transpose(a, perm), x)
+def _transpose01(x: U64, strategy: str | None = None) -> U64:
+    from ..ops.transpose import transpose01_u64
+
+    return transpose01_u64(x, strategy)
 
 
 class DistributedNTT:
@@ -138,7 +138,10 @@ class DistributedNTT:
             self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
             # Inter-step twiddles live column-sharded on the device mesh.
             self._fwd_tw = jax.device_put(
-                row_twiddles(mod, n0, n1, inverse=False), tw_sharding
+                row_twiddles(
+                    mod, n0, n1, inverse=False, w_only=config.split_w_only
+                ),
+                tw_sharding,
             )
             self._forward = jax.jit(
                 jax.shard_map(self._forward_local, **smap)
@@ -147,7 +150,10 @@ class DistributedNTT:
             self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
             self._inv_row = PlanTables(self._row_plan, mod, self.fc, inverse=True)
             self._inv_tw = jax.device_put(
-                row_twiddles(mod, n0, n1, inverse=True), tw_sharding
+                row_twiddles(
+                    mod, n0, n1, inverse=True, w_only=config.split_w_only
+                ),
+                tw_sharding,
             )
             self._inverse = jax.jit(
                 jax.shard_map(self._inverse_local, **smap)
@@ -218,9 +224,9 @@ class DistributedNTT:
                 mat, row_tables.leaf[n1], self.fc, None, inverse=False
             )
         else:
-            mat = _transpose01(mat)  # (n0/D, n1) -> (n1, n0/D)
+            mat = _transpose01(mat, self.config.transpose)  # -> (n1, n0/D)
             mat = planner.run_forward(mat, self._row_plan, row_tables)
-            mat = _transpose01(mat)  # -> (n0/D, n1) flat bit-reversed shard
+            mat = _transpose01(mat, self.config.transpose)  # -> (n0/D, n1)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)
 
     def _inverse_local(self, x: U64, tw, row_tables, col_tables) -> U64:
@@ -233,9 +239,9 @@ class DistributedNTT:
                 mat, row_tables.leaf[n1], self.fc, None, inverse=True
             )
         else:
-            mat = _transpose01(mat)  # (n1, n0/D)
+            mat = _transpose01(mat, self.config.transpose)  # (n1, n0/D)
             mat = planner.run_inverse(mat, self._row_plan, row_tables)
-            mat = _transpose01(mat)  # (n0/D, n1)
+            mat = _transpose01(mat, self.config.transpose)  # (n0/D, n1)
         # undo [comm 2]
         mat = self._all_to_all(mat, split_axis=1, concat_axis=0, cid=2)
         mat = self._tw_mul(mat, w, wp)  # undo twiddles

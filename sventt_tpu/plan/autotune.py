@@ -13,6 +13,8 @@ equivalent for this framework's knobs:
 * ``block_b``           -- sublane/mid kernel lane-tile width
 * ``stages_per_call``   -- butterfly stages fused per pallas_call
 * ``lane_rows``         -- lane-kernel batch-rows block height
+* ``chunk_elems``       -- jnp engine VMEM-resident chunk size
+* ``split_w_only``      -- companion-free inter-step twiddle tables
 
 all of which showed 20-40% measured spreads in round 1 (PERF_NOTES.md).
 
@@ -47,7 +49,7 @@ _DEFAULT_CACHE = Path(__file__).resolve().parents[2] / "autotune_cache.json"
 #: Tunable fields copied from a search winner into the returned config.
 KNOB_FIELDS = (
     "engine", "modmul", "max_fused", "block_b", "stages_per_call",
-    "lane_rows", "chunk_elems",
+    "lane_rows", "chunk_elems", "split_w_only",
 )
 
 
@@ -91,6 +93,7 @@ def _device_kind() -> str:
 CONSTRAINT_FIELDS = (
     "strategy", "engine", "modmul", "n0", "n1", "lazy",
     "block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems",
+    "split_w_only",
 )
 
 
@@ -329,7 +332,7 @@ def search(
     if best.engine != "pallas":
         # jnp winner: tune the VMEM-resident chunk size (only bites when
         # the transform exceeds one chunk)
-        from .planner import JNP_RESIDENT_ELEMS
+        from .planner import JNP_RESIDENT_ELEMS, W_ONLY_THRESHOLD
 
         for name, grid in JNP_KNOB_GRID:
             if config.n <= min(grid):
@@ -342,6 +345,16 @@ def search(
                 ms = timed(cand, f"{name}={val}")
                 if ms < best_ms:
                     best, best_ms = cand, ms
+        # Companion-free inter-step tables: trades the wp table read of
+        # every Split level for an in-flight u64 low-product.  Only bites
+        # when the plan decomposes; skip where the size heuristic already
+        # drops the companion.
+        if best.split_w_only is None and config.n > config.ITERATIVE_MAX:
+            default_w_only = config.n >= W_ONLY_THRESHOLD
+            cand = best.with_(split_w_only=not default_w_only)
+            ms = timed(cand, f"split_w_only={not default_w_only}")
+            if ms < best_ms:
+                best, best_ms = cand, ms
         return finish(best, best_ms)
 
     # Stage B: plan shape (largest fused leaf).  Only meaningful when the

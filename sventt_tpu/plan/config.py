@@ -63,6 +63,21 @@ class NttConfig:
     #: jnp engine: VMEM-resident chunk size in elements (None = the
     #: measured default, plan/planner.py JNP_RESIDENT_ELEMS).
     chunk_elems: int | None = None
+    #: Store the inter-step twiddle matrix WITHOUT its Montgomery companion
+    #: array (the multiply recomputes the companion in flight) -- halves the
+    #: dominant HBM table read of large six-step levels at the cost of one
+    #: extra u64 low-product per point.  None = size heuristic
+    #: (plan/planner.py W_ONLY_THRESHOLD); the TPU analogue of the
+    #: reference's store_precomputation=false memory/compute trade
+    #: (reference layer/sve/radix-two.hpp:96-138).
+    split_w_only: bool | None = None
+    #: Transpose strategy for fallback split levels and distributed local
+    #: steps ("auto" = XLA; "pallas" = the blocked VMEM-tile kernel,
+    #: ops/transpose.py).  The default schedules are transpose-free, so
+    #: this only bites on deep row subtrees / non-jnp distributed rows;
+    #: benchmarks/bench_transpose.py is the measurement corpus (the
+    #: reference's bench-transpose role, tests/bench-transpose.cpp:105-499).
+    transpose: str = "auto"
     #: Resolve knobs via the measure-and-cache autotuner at NTT build time.
     tune: bool = False
 
@@ -85,6 +100,8 @@ class NttConfig:
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.modmul not in ("auto", "montgomery", "shoup"):
             raise ValueError(f"unknown modmul engine {self.modmul!r}")
+        if self.transpose not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown transpose strategy {self.transpose!r}")
         for name in ("block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems"):
             v = getattr(self, name)
             if v is not None and (v < 1 or (name != "stages_per_call" and not _is_pow2(v))):

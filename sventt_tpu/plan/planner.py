@@ -65,15 +65,29 @@ W_ONLY_THRESHOLD = 1 << 26
 JNP_RESIDENT_ELEMS = 1 << 21
 
 
-def row_twiddles(mod: Modulus, n0: int, n1: int, *, inverse: bool) -> MontPair:
+def row_twiddles(
+    mod: Modulus, n0: int, n1: int, *, inverse: bool,
+    w_only: bool | None = None,
+) -> MontPair:
+    """Inter-step twiddle matrix for one Split level.
+
+    ``w_only`` drops the Montgomery companion array (the multiply recomputes
+    it in flight) -- halves this level's table read; None applies the
+    size heuristic W_ONLY_THRESHOLD.  Autotunable via
+    ``NttConfig.split_w_only``.
+    """
+    if w_only is None:
+        w_only = n0 * n1 >= W_ONLY_THRESHOLD
     if n0 * n1 > DEVICE_TWIDDLE_THRESHOLD:
         return sixstep_row_twiddles_device(
-            mod, n0, n1, inverse=inverse,
-            with_companion=n0 * n1 < W_ONLY_THRESHOLD,
+            mod, n0, n1, inverse=inverse, with_companion=not w_only,
         )
-    if inverse:
-        return sixstep_row_twiddles_inverse(mod, n0, n1)
-    return sixstep_row_twiddles(mod, n0, n1)
+    tw = (
+        sixstep_row_twiddles_inverse(mod, n0, n1)
+        if inverse
+        else sixstep_row_twiddles(mod, n0, n1)
+    )
+    return MontPair(tw.w, None) if w_only else tw
 
 
 @dataclass(frozen=True)
@@ -141,13 +155,15 @@ class PlanTables:
         spc: int | None = None,
         rows: int | None = None,
         chunk_elems: int | None = None,
+        split_w_only: bool | None = None,
+        transpose: str | None = None,
     ):
         self.plan = plan
         self.mod = mod
         self.fc = fc
         self.inverse = inverse
         # autotunable kernel knobs
-        self.knobs = (block_b, spc, rows, chunk_elems)
+        self.knobs = (block_b, spc, rows, chunk_elems, split_w_only, transpose)
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
@@ -180,7 +196,8 @@ class PlanTables:
             key = (node.m0, node.m1)
             if key not in self.split_tw:
                 self.split_tw[key] = row_twiddles(
-                    self.mod, node.m0, node.m1, inverse=self.inverse
+                    self.mod, node.m0, node.m1, inverse=self.inverse,
+                    w_only=self.knobs[4],
                 )
             if _lane_row(node) and node.m1 not in self.lane:
                 self.lane[node.m1] = ntt_pallas.make_lane_tables(
@@ -225,9 +242,10 @@ def _mid_row(node, tables) -> bool:
     )
 
 
-def _transpose01(x: U64) -> U64:
-    perm = (1, 0) + tuple(range(2, x.lo.ndim))
-    return U64(jnp.transpose(x.hi, perm), jnp.transpose(x.lo, perm))
+def _transpose01(x: U64, strategy: str | None = None) -> U64:
+    from ..ops.transpose import transpose01_u64
+
+    return transpose01_u64(x, strategy)
 
 
 def _mont_mul_bcast(fc: FieldConsts, x: U64, tw: MontPair, nb: int) -> U64:
@@ -411,9 +429,9 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         )
     else:
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
-        mat = _transpose01(mat)  # (m1, m0, batch)
+        mat = _transpose01(mat, tables.knobs[5])  # (m1, m0, batch)
         mat = run_forward(mat, node.row, tables)  # row NTTs, leading axis m1
-        mat = _transpose01(mat)  # (m0, m1, batch)
+        mat = _transpose01(mat, tables.knobs[5])  # (m0, m1, batch)
     return U64(
         mat.hi.reshape((node.m,) + batch), mat.lo.reshape((node.m,) + batch)
     )
@@ -447,9 +465,9 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
             inverse=True, chunk_elems=tables.knobs[3],
         )
     else:
-        mat = _transpose01(mat)
+        mat = _transpose01(mat, tables.knobs[5])
         mat = run_inverse(mat, node.row, tables)  # undo row NTTs
-        mat = _transpose01(mat)
+        mat = _transpose01(mat, tables.knobs[5])
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     mat = run_inverse(mat, node.col, tables)  # undo column NTTs
     return U64(

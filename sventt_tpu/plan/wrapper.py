@@ -90,7 +90,8 @@ class NTT:
         cfg = self.config
         knobs = dict(
             block_b=cfg.block_b, spc=cfg.stages_per_call, rows=cfg.lane_rows,
-            chunk_elems=cfg.chunk_elems,
+            chunk_elems=cfg.chunk_elems, split_w_only=cfg.split_w_only,
+            transpose=cfg.transpose,
         )
         if enable_forward:
             self._fwd_tables = planner.PlanTables(

@@ -41,3 +41,41 @@ def test_transpose_pallas_rejects_indivisible_shapes():
     x = jnp.zeros((300, 256), jnp.uint32)
     with pytest.raises(ValueError, match="not divisible"):
         transpose_pallas(x, br=256, bc=256)
+
+
+def test_transpose01_u64_strategy_dispatch(rng):
+    """transpose01_u64 (the transform paths' entry point, NttConfig.transpose):
+    pallas on block-divisible 2-D shapes, XLA fallback on 3-D / indivisible."""
+    from sventt_tpu.ops.transpose import transpose01_u64
+
+    hi = jnp.asarray(rng.integers(0, 1 << 32, (256, 512), dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 1 << 32, (256, 512), dtype=np.uint32))
+    want_hi = np.asarray(hi).T
+    for strategy in (None, "auto", "xla", "pallas"):
+        got = transpose01_u64(U64(hi, lo), strategy)
+        np.testing.assert_array_equal(np.asarray(got.hi), want_hi)
+    # 3-D and indivisible shapes silently take the XLA path
+    hi3 = hi.reshape(256, 256, 2)
+    got = transpose01_u64(U64(hi3, hi3), "pallas")
+    np.testing.assert_array_equal(
+        np.asarray(got.hi), np.asarray(hi3).transpose(1, 0, 2)
+    )
+    got = transpose01_u64(U64(hi[:100], lo[:100]), "pallas")
+    np.testing.assert_array_equal(np.asarray(got.hi), want_hi[:, :100])
+
+
+def test_transpose_knob_wired_into_fallback_path(rng):
+    """A plan whose row child is a subtree takes the transposed fallback;
+    transpose='pallas' must be bit-identical to the default there."""
+    from sventt_tpu.plan import NTT, NttConfig
+
+    from sventt_tpu.field.modulus import TEST_GENERATOR, TEST_MODULUS
+
+    base = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, 1 << 10,
+        strategy="six_step", n0=4, n1=256, max_fused=16,
+    )
+    x = rng.integers(0, TEST_MODULUS, size=1 << 10, dtype=np.uint64)
+    want = NTT(base).forward_numpy(x)
+    got = NTT(base.with_(transpose="pallas")).forward_numpy(x)
+    np.testing.assert_array_equal(got, want)

@@ -213,3 +213,18 @@ def test_random_prime_width_matrix(rng):
         want = GoldenNTT(n, mod).forward([int(v) for v in x])
         assert [int(v) for v in out] == [w % N for w in want], hex(N)
         assert (ntt.inverse_numpy(out) == x).all(), hex(N)
+
+
+@pytest.mark.parametrize("w_only", [True, False])
+def test_split_w_only_knob(rng, w_only):
+    """Companion-free inter-step tables are bit-identical to paired ones
+    (the store_precomputation=false analogue, NttConfig.split_w_only)."""
+    n = 1 << 10
+    base = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, n, strategy="six_step", n0=32, n1=32
+    )
+    _check_forward_inverse(base.with_(split_w_only=w_only), rng)
+    x = rng.integers(0, TEST_MODULUS, size=n, dtype=np.uint64)
+    got = NTT(base.with_(split_w_only=w_only)).forward_numpy(x)
+    want = NTT(base).forward_numpy(x)
+    assert (got == want).all()
