@@ -112,6 +112,13 @@ def _hbm_gbps() -> float:
 
 
 def main() -> None:
+    # Persistent XLA compilation cache: the 2^24 program compiles in ~8 s
+    # instead of ~35-70 s on repeat runs (measured round 3).  Must be set
+    # before the first jax import reads its config.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/sventt_tpu/xla-cache"),
+    )
     _wait_for_device()
 
     import jax
@@ -157,7 +164,9 @@ def main() -> None:
     # chain is lengthened adaptively until one chain takes >= 50 ms of wall
     # time (the autotuner's MIN_CHAIN_S methodology, plan/autotune.py) --
     # at the 0.1 ms/call scale a 10-call chain is dominated by tunnel
-    # jitter.  Best of three full-length chains.
+    # jitter.  MEDIAN of three full-length chains: the tunnel occasionally
+    # returns an impossibly fast chain (block_until_ready returning early,
+    # observed round 3), and a min would latch exactly those.
     def chain_ms(k: int) -> float:
         y = x
         t0 = time.perf_counter()
@@ -171,8 +180,8 @@ def main() -> None:
     while chain < 512 and ms * chain < 50.0:
         chain = min(512, chain * 2)
         ms = chain_ms(chain)
-    for _ in range(2):
-        ms = min(ms, chain_ms(chain))
+    samples = sorted([ms] + [chain_ms(chain) for _ in range(2)])
+    ms = samples[len(samples) // 2]
 
     from sventt_tpu import native
     from sventt_tpu.field.limb import u64_to_numpy

@@ -16,9 +16,17 @@ Usage: python benchmarks/bench_ntt.py [--quick]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, ".")
+
+# Persistent XLA compilation cache (set before jax reads its config): each
+# per-config subprocess re-compiles its program in seconds, not minutes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/sventt_tpu/xla-cache"),
+)
 
 import jax
 import numpy as np
@@ -82,6 +90,11 @@ def run_config(name: str) -> None:
     [(name, log2n, N, g, engine, modmul)] = [c for c in CONFIGS if c[0] == name]
     n = 1 << log2n
     cfg = NttConfig(N, g, n, engine=engine, modmul=modmul)
+    # Serve autotuned knobs when this (config, device) was tuned before;
+    # never tune inside a bench (same policy as bench.py).
+    from sventt_tpu.plan.autotune import tune
+
+    cfg = tune(cfg, on_miss="skip")
     log(f"bench_ntt: {name} ...")
     ntt = NTT(cfg)
     x = rng.integers(0, N, n, dtype=np.uint64)

@@ -165,15 +165,103 @@ def _make_input(config: NttConfig):
     )
 
 
-def _time_candidate(config: NttConfig, iters: int, reps: int = 2) -> float:
-    """Chained-dependent-call timing of one candidate's forward transform.
+#: Default XLA persistent-compilation-cache directory for measurement
+#: subprocesses (compiles drop from minutes to seconds on re-tunes).
+JAX_CACHE_DIR = os.path.expanduser("~/.cache/sventt_tpu/xla-cache")
 
-    Single-call timings through the axon tunnel carry a flat ~27 ms
-    completion poll (PERF_NOTES.md); ``iters`` dependent transforms inside
-    one block_until_ready amortize it away.  The chain is lengthened
-    adaptively (MIN_CHAIN_S) so fast configs are not judged on noise.
-    Returns best-of-``reps`` ms.
+#: Wall-clock cap per candidate subprocess.  Pathological Mosaic compiles
+#: can hang for many minutes (PERF_NOTES.md); a candidate that cannot
+#: build + time inside this window loses by default.
+CANDIDATE_TIMEOUT_S = 900
+
+_TIMER_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+spec = json.loads(sys.argv[2])
+import numpy as np
+import jax
+from sventt_tpu.field.limb import u64_from_numpy
+from sventt_tpu.plan.config import NttConfig
+from sventt_tpu.plan.wrapper import NTT
+
+cfg = NttConfig(**spec["config"])
+ntt = NTT(cfg, enable_inverse=False)
+rng = np.random.default_rng(0)
+x = jax.device_put(
+    u64_from_numpy(rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64))
+)
+jax.block_until_ready(ntt.compute_forward(x))  # compile + warm-up
+
+
+def chain(k):
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(k):
+        y = ntt.compute_forward(y)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / k * 1e3
+
+
+iters = spec["iters"]
+ms = chain(iters)
+while iters < spec["max_iters"] and ms * iters < spec["min_chain_ms"]:
+    iters = min(spec["max_iters"], iters * 2)
+    ms = chain(iters)
+# MEDIAN of the full-length chains, not min: the tunnel occasionally
+# returns an impossibly fast chain (block_until_ready returning early,
+# ~500x off -- observed round 3), and min latches exactly those.
+samples = [ms] + [chain(iters) for _ in range(spec["reps"])]
+samples.sort()
+print(json.dumps({"ms": samples[len(samples) // 2], "samples": samples}))
+"""
+
+
+def _child_env() -> dict:
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", JAX_CACHE_DIR)
+    return env
+
+
+def _repo_root() -> str:
+    return str(Path(__file__).resolve().parents[2])
+
+
+def _time_candidate_isolated(config: NttConfig, iters: int, reps: int) -> float:
+    """Time one candidate in a FRESH subprocess.
+
+    Candidate state is NOT confined to the candidate on the tunneled TPU:
+    measured round 3, running one 2^24 fused-pallas candidate degrades the
+    host process's dispatch path to ~25-30 ms/call for every LATER
+    candidate (same class as the D2H degradation, PERF_NOTES.md), which
+    silently turned the staged search into "first candidate wins".  A
+    subprocess per measurement resets tunnel state; the persistent XLA
+    compilation cache (JAX_CACHE_DIR) keeps re-compiles to seconds.
     """
+    import dataclasses
+    import subprocess
+
+    spec = {
+        "config": dataclasses.asdict(config),
+        "iters": iters,
+        "reps": reps,
+        "min_chain_ms": MIN_CHAIN_S * 1e3,
+        "max_iters": MAX_CHAIN_ITERS,
+    }
+    r = subprocess.run(
+        [sys.executable, "-c", _TIMER_CHILD, _repo_root(), json.dumps(spec)],
+        capture_output=True,
+        text=True,
+        timeout=CANDIDATE_TIMEOUT_S,
+        env=_child_env(),
+    )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"candidate subprocess failed: {r.stderr.strip()[-300:]}"
+        )
+    return float(json.loads(r.stdout.strip().splitlines()[-1])["ms"])
+
+
+def _time_candidate_inprocess(config: NttConfig, iters: int, reps: int) -> float:
     import jax
 
     from .wrapper import NTT
@@ -182,12 +270,27 @@ def _time_candidate(config: NttConfig, iters: int, reps: int = 2) -> float:
     x = _make_input(config)
     out = ntt.compute_forward(x)  # compile + warm-up
     jax.block_until_ready(out)
-    iters, best = _adaptive_iters(ntt, x, iters)
-    for _ in range(reps):
-        best = min(best, _chain_once(ntt, x, iters))
+    iters, ms = _adaptive_iters(ntt, x, iters)
+    samples = sorted([ms] + [_chain_once(ntt, x, iters) for _ in range(reps)])
     del ntt, x, out
     gc.collect()
-    return best
+    return samples[len(samples) // 2]
+
+
+def _time_candidate(config: NttConfig, iters: int, reps: int = 2) -> float:
+    """Chained-dependent-call timing of one candidate's forward transform.
+
+    Single-call timings through the axon tunnel carry a flat ~27 ms
+    completion poll (PERF_NOTES.md); ``iters`` dependent transforms inside
+    one block_until_ready amortize it away.  The chain is lengthened
+    adaptively (MIN_CHAIN_S) so fast configs are not judged on noise.
+    Returns the MEDIAN over 1+``reps`` full-length chains (min would latch
+    the tunnel's occasional impossibly-fast chains).  On the real TPU each
+    candidate runs in its own subprocess (see _time_candidate_isolated).
+    """
+    if _backend() == "tpu":
+        return _time_candidate_isolated(config, iters, reps)
+    return _time_candidate_inprocess(config, iters, reps)
 
 
 #: Finalists within this factor of the greedy winner enter the playoff.
@@ -206,33 +309,29 @@ def _playoff(
     """Interleaved re-measurement of near-tied candidates.
 
     The staged greedy search times candidates SEQUENTIALLY, so any slow
-    drift in device/tunnel state biases the comparison.  The playoff keeps
-    all finalist executables alive and alternates timed chains between
-    them round-robin, taking each candidate's min across rounds.
+    drift in device/tunnel state biases the comparison.  The playoff
+    re-times every finalist in alternating rounds -- each measurement in
+    a fresh subprocess (tunnel state fully reset, compiles served by the
+    persistent cache), so slow drift hits every candidate equally and no
+    candidate inherits another's degradation -- taking each candidate's
+    min across rounds.
     """
-    import jax
-
-    from .wrapper import NTT
-
-    x = _make_input(finalists[0][1])
-    ntts = []
-    for tag, cfg in finalists:
-        ntt = NTT(cfg, enable_inverse=False)
-        jax.block_until_ready(ntt.compute_forward(x))  # compile + warm
-        ntts.append((tag, cfg, ntt))
-    iters, _ = _adaptive_iters(ntts[0][2], x, iters)
-    best: dict[str, float] = {tag: float("inf") for tag, _ in finalists}
+    rounds: dict[str, list[float]] = {tag: [] for tag, _ in finalists}
     for _ in range(PLAYOFF_ROUNDS):
-        for tag, _, ntt in ntts:
-            best[tag] = min(best[tag], _chain_once(ntt, x, iters))
-    for tag, ms in best.items():
-        _log(f"playoff {tag}: {ms:.3f} ms")
-        timings[f"playoff:{tag}"] = ms
-    tag, cfg, _ = min(ntts, key=lambda t: best[t[0]])
-    ms = best[tag]
-    del ntts, x
-    gc.collect()
-    return cfg, ms
+        for tag, cfg in finalists:
+            try:
+                rounds[tag].append(_time_candidate(cfg, iters))
+            except Exception as e:
+                _log(f"playoff {tag}: FAILED ({type(e).__name__})")
+    best: dict[str, float] = {}
+    for tag, ms_list in rounds.items():
+        # median across rounds, same rationale as the per-chain median
+        ms_list.sort()
+        best[tag] = ms_list[len(ms_list) // 2] if ms_list else float("inf")
+        _log(f"playoff {tag}: {best[tag]:.3f} ms {ms_list}")
+        timings[f"playoff:{tag}"] = best[tag]
+    tag, cfg = min(finalists, key=lambda t: best[t[0]])
+    return cfg, best[tag]
 
 
 def _lazy_capable(config: NttConfig) -> bool:
@@ -277,8 +376,15 @@ JNP_KNOB_GRID = (
 
 def search(
     config: NttConfig, iters: int | None = None
-) -> tuple[NttConfig, dict[str, float]]:
-    """Staged greedy search; returns (winner, timings per candidate tag)."""
+) -> tuple[NttConfig, float, dict[str, float]]:
+    """Staged greedy search.
+
+    Returns (winner, winner_ms, timings per candidate tag).  winner_ms is
+    the WINNER'S own measurement (its playoff median when a playoff ran),
+    never a min over unrelated candidates -- a single anomalously-fast
+    tunnel measurement of a losing candidate must not be recorded as the
+    entry's best_ms (round-3 fix).
+    """
     if iters is None:
         # keep each measurement around a second of device time
         iters = max(4, min(20, (1 << 27) // config.n))
@@ -298,10 +404,12 @@ def search(
         candidates[tag] = cfg
         return ms
 
-    def finish(best: NttConfig, best_ms: float) -> tuple[NttConfig, dict]:
+    def finish(
+        best: NttConfig, best_ms: float
+    ) -> tuple[NttConfig, float, dict]:
         """Interleaved playoff between near-tied measured candidates."""
         if _backend() != "tpu":
-            return best, timings
+            return best, best_ms, timings
         finalists: list[tuple[str, NttConfig]] = []
         seen: list[NttConfig] = []
         for tag, ms in sorted(timings.items(), key=lambda kv: kv[1]):
@@ -310,13 +418,14 @@ def search(
                 continue
             finalists.append((tag, cfg))
             seen.append(cfg)
-        # memory guard: each finalist keeps its tables + executables alive
+        # playoff-cost guard: each finalist costs PLAYOFF_ROUNDS fresh
+        # subprocess measurements (huge transforms also pay table prep)
         limit = 2 if config.n >= (1 << 26) else 3
         finalists = finalists[:limit]
         if len(finalists) < 2:
-            return best, timings
-        winner, _ = _playoff(finalists, iters, timings)
-        return winner, timings
+            return best, best_ms, timings
+        winner, winner_ms = _playoff(finalists, iters, timings)
+        return winner, winner_ms, timings
 
     # Stage A: engine x modmul on default knobs.
     best, best_ms = None, float("inf")
@@ -418,7 +527,7 @@ def tune(
 
     _log(f"tuning {key} (no cache entry)")
     t0 = time.perf_counter()
-    best, timings = search(config, iters)
+    best, best_ms, timings = search(config, iters)
     _verify_winner(config, best)
     _log(f"winner {_tag(best)} in {time.perf_counter() - t0:.0f}s")
     data[key] = {
@@ -427,7 +536,7 @@ def tune(
             k: (None if v == float("inf") else round(v, 4))
             for k, v in timings.items()
         },
-        "best_ms": round(min(timings.values()), 4),
+        "best_ms": round(best_ms, 4),
     }
     if path == _DEFAULT_CACHE and _backend() != "tpu":
         # The repo-shipped cache is a tuned-parameter corpus for the real
@@ -443,38 +552,87 @@ def tune(
     return best
 
 
+_VERIFY_CHILD = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+spec = json.loads(sys.argv[2])
+import numpy as np
+import jax
+import jax.numpy as jnp
+from sventt_tpu.field.limb import u64_from_numpy
+from sventt_tpu.plan.config import NttConfig
+from sventt_tpu.plan.wrapper import NTT
+
+base, best = NttConfig(**spec["base"]), NttConfig(**spec["best"])
+rng = np.random.default_rng(1)
+x = jax.device_put(
+    u64_from_numpy(rng.integers(0, base.modulus, base.n, dtype=np.uint64))
+)
+nb, nw = NTT(base, enable_inverse=False), NTT(best, enable_inverse=False)
+ref = nb.fc.normalize(nb.compute_forward(x))
+got = nw.fc.normalize(nw.compute_forward(x))
+same = jnp.array_equal(ref.hi, got.hi) & jnp.array_equal(ref.lo, got.lo)
+print(json.dumps({"same": bool(same)}))
+"""
+
+
 def _verify_winner(config: NttConfig, best: NttConfig) -> None:
     """A tuned config must be bit-identical (mod N) to the untuned one.
 
-    Device-side residue comparison; the single scalar readback happens
-    after all timing, so the tunnel's D2H dispatch degradation
-    (PERF_NOTES.md round 2) cannot contaminate the measurements.
+    On the real TPU this runs in a subprocess: the residue comparison ends
+    in a D2H readback, which would permanently degrade the calling
+    process's tunnel dispatch path (PERF_NOTES.md round 2).
     """
-    import jax
-    import jax.numpy as jnp
-
-    from ..field.limb import u64_from_numpy
-    from .wrapper import NTT
-
     base = config.with_(tune=False)
     if best == base:
         return
-    rng = np.random.default_rng(1)
-    x = jax.device_put(
-        u64_from_numpy(rng.integers(0, config.modulus, config.n, dtype=np.uint64))
-    )
-    ntt_b = NTT(base, enable_inverse=False)
-    ntt_w = NTT(best, enable_inverse=False)
-    ref = ntt_b.fc.normalize(ntt_b.compute_forward(x))
-    got = ntt_w.fc.normalize(ntt_w.compute_forward(x))
-    same = jnp.array_equal(ref.hi, got.hi) & jnp.array_equal(ref.lo, got.lo)
-    if not bool(same):
+    if _backend() == "tpu":
+        import dataclasses
+        import subprocess
+
+        spec = {
+            "base": dataclasses.asdict(base),
+            "best": dataclasses.asdict(best),
+        }
+        r = subprocess.run(
+            [sys.executable, "-c", _VERIFY_CHILD, _repo_root(), json.dumps(spec)],
+            capture_output=True,
+            text=True,
+            timeout=CANDIDATE_TIMEOUT_S,
+            env=_child_env(),
+        )
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"verify subprocess failed: {r.stderr.strip()[-300:]}"
+            )
+        same = json.loads(r.stdout.strip().splitlines()[-1])["same"]
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from ..field.limb import u64_from_numpy
+        from .wrapper import NTT
+
+        rng = np.random.default_rng(1)
+        x = jax.device_put(
+            u64_from_numpy(
+                rng.integers(0, config.modulus, config.n, dtype=np.uint64)
+            )
+        )
+        ntt_b = NTT(base, enable_inverse=False)
+        ntt_w = NTT(best, enable_inverse=False)
+        ref = ntt_b.fc.normalize(ntt_b.compute_forward(x))
+        got = ntt_w.fc.normalize(ntt_w.compute_forward(x))
+        same = bool(
+            jnp.array_equal(ref.hi, got.hi) & jnp.array_equal(ref.lo, got.lo)
+        )
+        del ntt_b, ntt_w, ref, got
+        gc.collect()
+    if not same:
         raise AssertionError(
             f"autotune winner {_tag(best)} is not bit-identical to the "
             "untuned config -- refusing to cache it"
         )
-    del ntt_b, ntt_w, ref, got
-    gc.collect()
 
 
 def _tag(cfg: NttConfig) -> str:

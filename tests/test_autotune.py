@@ -92,7 +92,7 @@ def test_staged_search_selects_measured_minimum(monkeypatch):
         return cost
 
     monkeypatch.setattr(autotune, "_time_candidate", fake_time)
-    best, timings = autotune.search(_cfg(1 << 12, engine="pallas"))
+    best, _, timings = autotune.search(_cfg(1 << 12, engine="pallas"))
     assert best.modmul == "shoup"
     assert best.max_fused == 128
     assert best.block_b == 512
@@ -114,7 +114,7 @@ def test_search_survives_failing_candidates(monkeypatch):
         return 5.0
 
     monkeypatch.setattr(autotune, "_time_candidate", flaky)
-    best, timings = autotune.search(_cfg(1 << 12, engine="pallas"))
+    best, _, timings = autotune.search(_cfg(1 << 12, engine="pallas"))
     assert best.modmul == "montgomery"
     assert best.block_b != 512
     assert timings["pallas/shoup"] == float("inf")
@@ -156,7 +156,7 @@ def test_playoff_finalist_selection(monkeypatch):
         return winner, 0.9
 
     monkeypatch.setattr(autotune, "_playoff", fake_playoff)
-    best, _ = autotune.search(_cfg(1 << 10))
+    best, _, _ = autotune.search(_cfg(1 << 10))
     assert best.modmul == "montgomery"
     assert seen["tags"] == ["jnp/shoup", "jnp/montgomery"]
 
@@ -178,7 +178,7 @@ def test_playoff_skipped_when_clear_winner(monkeypatch):
         raise AssertionError("playoff ran with a clear winner")
 
     monkeypatch.setattr(autotune, "_playoff", boom)
-    best, _ = autotune.search(_cfg(1 << 10))
+    best, _, _ = autotune.search(_cfg(1 << 10))
     assert best.modmul == "shoup"
 
 
