@@ -182,6 +182,27 @@ def test_playoff_skipped_when_clear_winner(monkeypatch):
     assert best.modmul == "shoup"
 
 
+def test_subprocess_timer_child():
+    """The isolated per-candidate measurement (the TPU path's subprocess
+    child) round-trips a config through JSON, times a real transform in a
+    fresh interpreter, and reports a sane median."""
+    ms = autotune._time_candidate_isolated(_cfg(1 << 8), iters=2, reps=2)
+    assert 0 < ms < 60_000
+
+
+def test_subprocess_verify_winner(monkeypatch):
+    """The isolated winner-verification child compares base vs tuned
+    configs bit-exactly in a fresh interpreter (the TPU path)."""
+    monkeypatch.setattr(autotune, "_backend", lambda: "tpu")
+    base = _cfg(1 << 8, tune=True)
+    # identical math, different knob -> must pass
+    autotune._verify_winner(base, base.with_(tune=False, modmul="shoup"))
+    # a different generator is a different transform -> must fail
+    bad = NttConfig(TEST_MODULUS, 11, 1 << 8, tune=False)
+    with pytest.raises(AssertionError):
+        autotune._verify_winner(base, bad)
+
+
 def test_cache_key_pins_constraints():
     """A search constrained by pinned engine/modmul/knobs explores a
     different candidate set, so its cache entry must not collide with the
