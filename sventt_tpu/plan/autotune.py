@@ -636,8 +636,9 @@ def _verify_winner(config: NttConfig, best: NttConfig) -> None:
 
 
 def _tag(cfg: NttConfig) -> str:
-    return (
-        f"{cfg.engine}/{cfg.modmul}"
-        f" max_fused={cfg.max_fused} block_b={cfg.block_b}"
-        f" spc={cfg.stages_per_call} rows={cfg.lane_rows}"
+    knobs = " ".join(
+        f"{k}={getattr(cfg, k)}"
+        for k in KNOB_FIELDS[2:]
+        if getattr(cfg, k) is not None
     )
+    return f"{cfg.engine}/{cfg.modmul}" + (f" {knobs}" if knobs else "")

@@ -61,12 +61,15 @@ def phase_breakdown(ntt, iters: int = 20, seed: int = 0) -> dict[str, float]:
         )
         return jax.device_put(u64_from_numpy(flat.reshape(shape)))
 
-    def chain(f, x):
-        jax.block_until_ready(f(x))  # compile + warm
+    def chain(f, x, *tables):
+        """Tables are jit ARGUMENTS (closing over them would bake hundreds
+        of MB of twiddles into the serialized HLO -- HTTP 413 through the
+        remote-compile tunnel)."""
+        jax.block_until_ready(f(x, *tables))  # compile + warm
         t0 = time.perf_counter()
         y = x
         for _ in range(iters):
-            y = f(y)
+            y = f(y, *tables)
         jax.block_until_ready(y)
         return (time.perf_counter() - t0) / iters * 1e3
 
@@ -79,27 +82,30 @@ def phase_breakdown(ntt, iters: int = 20, seed: int = 0) -> dict[str, float]:
         shape = (m0, m1) + batch
         tw = tabs.split_tw[(m0, m1)]
         if planner._jnp_row(node):
-            t = tabs.leaf[m1]
             f = jax.jit(
-                lambda v, t=t, tw=tw: planner._jnp_mid_chunked(
+                lambda v, t, tw: planner._jnp_mid_chunked(
                     v, t, fc, tw, inverse=False, chunk_elems=tabs.knobs[3]
                 )
             )
             out[f"level{level}.rows m1={m1} (+tw, fused chunks)"] = chain(
-                f, dev(shape)
+                f, dev(shape), tabs.leaf[m1], tw
             )
         else:
             # pallas lane/mid rows or the transposed fallback: time the
             # inter-step twiddle multiply alone (the row engines have
             # their own benchmarks in benchmarks/bench_ntt.py)
             f = jax.jit(
-                lambda v, tw=tw, nb=len(batch): planner._mont_mul_bcast(
+                lambda v, tw, nb=len(batch): planner._mont_mul_bcast(
                     fc, v, tw, nb
                 )
             )
-            out[f"level{level}.inter-step tw {m0}x{m1}"] = chain(f, dev(shape))
+            out[f"level{level}.inter-step tw {m0}x{m1}"] = chain(
+                f, dev(shape), tw
+            )
         node, batch, level = node.col, (m1,) + batch, level + 1
 
-    f = jax.jit(lambda v: planner.run_forward(v, node, tabs))
-    out[f"level{level}.col leaf m={node.m}"] = chain(f, dev((node.m,) + batch))
+    f = jax.jit(lambda v, t: planner.run_forward(v, node, t))
+    out[f"level{level}.col leaf m={node.m}"] = chain(
+        f, dev((node.m,) + batch), tabs
+    )
     return out
