@@ -7,11 +7,24 @@ fill input, golden-check, time the transform) at BASELINE.md config 4 scale
 (n = 2^24 blocked six-step).  The reference publishes no absolute numbers
 (BASELINE.md), so ``vs_baseline`` reports distance from the chip's own
 speed of light instead: roofline_ms / measured_ms, where the roofline charges
-the six-step's minimal HBM traffic (4 read+write passes over the 16-byte/point
-limb data) at the chip's peak HBM bandwidth.  1.0 = at roofline; higher is
-better.
+the canonical six-step's minimal HBM traffic -- 4 read+write passes over the
+8-byte/point limb data (U64 = 2 x uint32), i.e. 64 B/point -- at the chip's
+measured streaming bandwidth.  1.0 = at roofline; higher is better.
 
-Env overrides: BENCH_N (log2 points, default 24), BENCH_ITERS (default 5).
+TIMING METHODOLOGY (round 3, sventt_tpu/utils/truetime.py): through the
+axon tunnel ``jax.block_until_ready`` acknowledges DISPATCH, not
+completion, so every timing here is a single-dispatch jitted fori_loop
+chain whose completion is forced by a device-to-host readback of one
+element, minus the measured flat RTT.  Rounds 1-2 of this file used
+block_until_ready chains; every sub-millisecond round-2 number (including
+BENCH_r02's 0.093 ms) was a dispatch-rate artifact, and round 2's roofline
+calibration was inflated the same way (4-29 TB/s for a chip whose true
+stream bandwidth is ~657 GB/s).  vs_baseline is therefore NOT comparable
+across rounds 2 -> 3; the round-3 figures are the truthful ones.  Round 2
+also double-counted bytes/point (16 instead of 8); fixed here.
+
+Env overrides: BENCH_N (log2 points, default 24), BENCH_SECONDS (target
+device seconds per timed chain, default 3).
 """
 
 from __future__ import annotations
@@ -31,13 +44,11 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None
     large host-to-device transfer, PERF_NOTES.md round 2) and a hung jax
     runtime in-process is unrecoverable — so each probe runs ``jax.devices()``
     plus one tiny jit dispatch in a fresh subprocess under a timeout, and the
-    main process only initializes jax once a probe succeeds.  Gives up (and
-    proceeds, so the failure mode is visible downstream) after ``max_wait_s``.
-    If the device never answers, EXITS non-zero: proceeding would hang
-    forever inside jax initialization (outages of many hours observed),
-    and a hung benchmark is worse for the calling harness than a clean
-    failure.  Disable with BENCH_PROBE=0; lengthen with
-    BENCH_MAX_WAIT_S.
+    main process only initializes jax once a probe succeeds.  If the device
+    never answers, EXITS non-zero: proceeding would hang forever inside jax
+    initialization (outages of many hours observed), and a hung benchmark is
+    worse for the calling harness than a clean failure.  Disable with
+    BENCH_PROBE=0; lengthen with BENCH_MAX_WAIT_S.
     """
     import subprocess
 
@@ -46,7 +57,8 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None
     max_wait_s = int(os.environ.get("BENCH_MAX_WAIT_S", max_wait_s))
     code = (
         "import jax, jax.numpy as jnp;"
-        "jax.block_until_ready(jax.jit(lambda a: a + 1)"
+        "import numpy as np;"
+        "np.asarray(jax.jit(lambda a: a + 1)"
         "(jnp.zeros((8, 128), jnp.uint32)))"
     )
     deadline = time.time() + max_wait_s
@@ -87,34 +99,10 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None
         time.sleep(wait)
 
 
-def _hbm_gbps() -> float:
-    """Measured streaming bandwidth of the local chip.
-
-    Calibrated at runtime with a chained elementwise pass over 256 MB (spec
-    tables are useless here: the tunneled device sustains far more than v5e
-    datasheet bandwidth, so the roofline must be empirical).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    n = 1 << 26
-    x = jax.device_put(jnp.ones((n,), jnp.uint32))
-    f = jax.jit(lambda a: a + jnp.uint32(1))
-    jax.block_until_ready(f(x))
-    iters = 40
-    t0 = time.perf_counter()
-    s = x
-    for _ in range(iters):
-        s = f(s)
-    jax.block_until_ready(s)
-    dt = (time.perf_counter() - t0) / iters
-    return n * 4 * 2 / dt / 1e9
-
-
 def main() -> None:
     # Persistent XLA compilation cache: the 2^24 program compiles in ~8 s
-    # instead of ~35-70 s on repeat runs (measured round 3).  Must be set
-    # before the first jax import reads its config.
+    # instead of ~35-70 s on repeat runs.  Must be set before the first jax
+    # import reads its config.
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/sventt_tpu/xla-cache"),
@@ -125,10 +113,11 @@ def main() -> None:
 
     from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
     from sventt_tpu.field.limb import u64_from_numpy
-    from sventt_tpu.plan import NTT, NttConfig
+    from sventt_tpu.plan import NTT, NttConfig, planner
+    from sventt_tpu.utils.truetime import stream_gbps, time_chained
 
     log2n = int(os.environ.get("BENCH_N", "24"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "3"))
     n = 1 << log2n
 
     cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, n)
@@ -147,45 +136,32 @@ def main() -> None:
     x = u64_from_numpy(rng.integers(0, cfg.modulus, n, dtype=np.uint64))
     x = jax.device_put(x)
 
-    # Warm-up (compile).  NOTE ORDER: all timing happens BEFORE any
-    # device-to-host readback -- the first D2H permanently degrades the
-    # axon tunnel's dispatch path by ~1.5 ms/call (measured, PERF_NOTES.md
-    # round 2), so verification runs after the clocks stop.
+    # Truthful timing: single-dispatch fori_loop chain, completion forced
+    # by readback, flat RTT subtracted (see module docstring).  The step
+    # re-jits inside the chain program with tables as ARGUMENTS.
+    plan = ntt.plan
     t0 = time.perf_counter()
-    out = ntt.compute_forward(x)
-    jax.block_until_ready(out)
-    print(f"bench: compile+first run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    res = time_chained(
+        lambda v, t: planner.run_forward(v, plan, t),
+        x,
+        (ntt._fwd_tables,),
+        seconds=seconds,
+    )
+    print(
+        f"bench: compile+measure {time.perf_counter() - t0:.1f}s "
+        f"(rtt {res.rtt_ms:.1f} ms, k={res.k}, samples {res.samples})",
+        file=sys.stderr,
+    )
+    ms = res.ms
 
-    # Roofline calibration (chained adds, no D2H) in the same clean state.
-    hbm_gbps = _hbm_gbps()
-
-    # Chained dependent calls inside one block: single-call timings through
-    # the axon tunnel carry a flat ~27 ms completion-poll latency.  The
-    # chain is lengthened adaptively until one chain takes >= 50 ms of wall
-    # time (the autotuner's MIN_CHAIN_S methodology, plan/autotune.py) --
-    # at the 0.1 ms/call scale a 10-call chain is dominated by tunnel
-    # jitter.  MEDIAN of three full-length chains: the tunnel occasionally
-    # returns an impossibly fast chain (block_until_ready returning early,
-    # observed round 3), and a min would latch exactly those.
-    def chain_ms(k: int) -> float:
-        y = x
-        t0 = time.perf_counter()
-        for _ in range(k):
-            y = ntt.compute_forward(y)
-        jax.block_until_ready(y)
-        return (time.perf_counter() - t0) / k * 1e3
-
-    chain = max(iters, 10)
-    ms = chain_ms(chain)
-    while chain < 512 and ms * chain < 50.0:
-        chain = min(512, chain * 2)
-        ms = chain_ms(chain)
-    samples = sorted([ms] + [chain_ms(chain) for _ in range(2)])
-    ms = samples[len(samples) // 2]
+    # Truthful streaming-bandwidth calibration for the roofline.
+    hbm_gbps = stream_gbps(26, seconds=min(seconds, 2.0))
+    print(f"bench: stream {hbm_gbps:.0f} GB/s", file=sys.stderr)
 
     from sventt_tpu import native
     from sventt_tpu.field.limb import u64_to_numpy
 
+    out = ntt.compute_forward(x)
     outv = u64_to_numpy(ntt.fc.normalize(out))
     xv = u64_to_numpy(x)
     if native.available():
@@ -200,7 +176,7 @@ def main() -> None:
         assert int(outv[0]) == want0, "correctness check failed"
         print("bench: X[0] matches DFT definition", file=sys.stderr)
 
-    bytes_per_pass = 2 * 16 * n  # read + write, 16 B/point (2x u32 limb pairs)
+    bytes_per_pass = 2 * 8 * n  # read + write, 8 B/point (u64 = 2 x u32)
     roofline_ms = 4 * bytes_per_pass / (hbm_gbps * 1e9) * 1e3
     print(
         json.dumps(

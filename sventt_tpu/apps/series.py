@@ -47,13 +47,23 @@ def _mod_sub_u64(a: np.ndarray, b: np.ndarray, modulus: int) -> np.ndarray:
     return np.where(a < b, s + N, s)
 
 
-def q_pochhammer_coeffs(k: int, degree: int, modulus: int) -> np.ndarray:
+def q_pochhammer_coeffs(
+    k: int, degree: int, modulus: int, *, use_native: bool = True
+) -> np.ndarray:
     """Coefficients [0..degree] of (q;q)_k = prod_{i=1}^{k} (1 - q^i) mod N.
 
     Iterated multiplication by (1 - q^i), truncated at ``degree``
     (reference gaussian-polynomial.hpp:19-45 without the exact-size
-    requirement: truncation makes it usable as a series factor).
+    requirement: truncation makes it usable as a series factor).  Served by
+    the native C++ generator (native/series.cc) when available;
+    ``use_native=False`` forces the numpy model (the test oracle).
     """
+    if use_native:
+        from .. import native
+
+        out = native.qpochhammer(k, degree, modulus)
+        if out is not None:
+            return out
     coeff = np.zeros(degree + 1, dtype=np.uint64)
     coeff[0] = 1
     for i in range(1, k + 1):
@@ -63,20 +73,31 @@ def q_pochhammer_coeffs(k: int, degree: int, modulus: int) -> np.ndarray:
     return coeff
 
 
-def restricted_partition_series(k: int, degree: int, modulus: int) -> np.ndarray:
+def restricted_partition_series(
+    k: int, degree: int, modulus: int, *, use_native: bool = True
+) -> np.ndarray:
     """Coefficients [0..degree] of 1/(q;q)_k mod N.
 
-    The n-th coefficient is p(n | parts <= k).  Each factor 1/(1 - q^i) is
-    applied by the binary telescoping identity
+    The n-th coefficient is p(n | parts <= k).  Native path: the C++
+    streaming generator with the reference's O(k^2) rolling ring-buffer
+    state (native/series.cc <- reference restricted-partition.hpp:37-50).
+    Numpy fallback/oracle: each factor 1/(1 - q^i) applied by the binary
+    telescoping identity
 
         (1 - x)(1+x)(1+x^2)(1+x^4)...(1+x^(2^T)) = 1 - x^(2^(T+1)),
 
     i.e. 1/(1 - q^i) == prod_t (1 + q^(i*2^t)) mod q^(degree+1): k*log2(r)
-    full-vector shifted adds instead of the reference's streaming (k+1)^2
-    rolling DP (reference restricted-partition.hpp:37-50) -- at the
-    reference's m = 100 scale (k = 100, degree = 495,000) this runs in
-    under a second where the naive prefix recurrence takes minutes.
+    full-vector shifted adds -- at the reference's m = 100 scale (k = 100,
+    degree = 495,000) under a second where the naive prefix recurrence
+    takes minutes.
     """
+    if use_native:
+        from .. import native
+
+        stream = native.restricted_partition_stream(k, modulus)
+        if stream is not None:
+            with stream:
+                return stream.next(degree + 1)
     c = np.zeros(degree + 1, dtype=np.uint64)
     c[0] = 1
     for i in range(1, k + 1):
@@ -87,8 +108,21 @@ def restricted_partition_series(k: int, degree: int, modulus: int) -> np.ndarray
     return c
 
 
-def _qbinom_numerator(n: int, k: int, degree: int, modulus: int) -> np.ndarray:
-    """Coefficients [0..degree] of prod_{i=n-k+1}^{n} (1 - q^i) mod N."""
+def _qbinom_numerator(
+    n: int, k: int, degree: int, modulus: int, *, use_native: bool = True
+) -> np.ndarray:
+    """Coefficients [0..degree] of prod_{i=n-k+1}^{n} (1 - q^i) mod N.
+
+    Native path evaluates the k+1 Rothe segments (native/series.cc <-
+    reference gaussian-polynomial.hpp:52-146); numpy fallback is the direct
+    truncated product.
+    """
+    if use_native and k <= n:
+        from .. import native
+
+        out = native.gauss_numerator_range(0, degree + 1, n, k, modulus)
+        if out is not None:
+            return out
     coeff = np.zeros(degree + 1, dtype=np.uint64)
     coeff[0] = 1
     for i in range(n - k + 1, n + 1):
@@ -117,19 +151,36 @@ def gaussian_binomial_coefficient(
     fixed-size NTT, mirroring the reference's chunked streaming division
     (gaussian-polynomial.hpp:196-241).
     """
-    num = _qbinom_numerator(n, k, r, modulus)
     inv = restricted_partition_series(k, r, modulus)
     if chunk is None:
+        num = _qbinom_numerator(n, k, r, modulus)
         prod = poly_multiply(num, inv, modulus, generator, out_len=r + 1, ntt=ntt)
         return int(prod[r])
     # Block convolution: coefficient r of num * inv =
     # sum over blocks b of num: conv(num[b], inv-window) aligned at r.
+    # Numerator blocks stream from the native Rothe-segment generator when
+    # available (reference gaussian-polynomial.hpp:52-146 streams the
+    # numerator the same way); otherwise from the materialized polynomial.
+    from .. import native
+
+    if native.available() and k <= n:
+
+        def num_block(start: int) -> np.ndarray:
+            ln = min(chunk, r + 1 - start)
+            return native.gauss_numerator_range(start, ln, n, k, modulus)
+
+    else:
+        num = _qbinom_numerator(n, k, r, modulus)
+
+        def num_block(start: int) -> np.ndarray:
+            return num[start : start + chunk]
+
     if ntt is None:
         size = 1 << max(2, (2 * chunk - 1).bit_length())
         ntt = make_convolver(modulus, generator, size)
     acc = 0
     for start in range(0, r + 1, chunk):
-        num_blk = num[start : start + chunk]
+        num_blk = num_block(start)
         if not num_blk.any():
             continue
         # inv window that can contribute to coefficient r via this block
