@@ -79,12 +79,13 @@ def run_config(name: str, force: bool) -> None:
     tuned_cfg = tune(base)  # cache hit
 
     x = jax.device_put(u64_from_numpy(rng.integers(0, N, n, dtype=np.uint64)))
-    iters = 20 if log2n <= 20 else 8
     ntt_d = NTT(base, enable_inverse=False)
-    ms_d = chain_time_ms(lambda s: ntt_d.compute_forward(s), x, iters)
+    step_d, tabs_d = ntt_d.forward_step()
+    ms_d = chain_time_ms(step_d, x, tabs_d)
     del ntt_d
     ntt_t = NTT(tuned_cfg, enable_inverse=False)
-    ms_t = chain_time_ms(lambda s: ntt_t.compute_forward(s), x, iters)
+    step_t, tabs_t = ntt_t.forward_step()
+    ms_t = chain_time_ms(step_t, x, tabs_t)
     del ntt_t
     emit(
         {

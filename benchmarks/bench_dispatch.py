@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.common import chain_time_ms, emit, log
+from benchmarks.common import dispatch_rate_ms, emit, log
 from sventt_tpu import TEST_GENERATOR, TEST_MODULUS
 from sventt_tpu.field.limb import FieldConsts, U64, u64_from_numpy
 from sventt_tpu.field.modulus import Modulus
@@ -44,7 +44,7 @@ def probe_operand_count() -> None:
                 acc = acc + o[0]  # force each operand live
             return acc
 
-        ms = chain_time_ms(lambda s: f(s, *ops), x, iters=50)
+        ms = dispatch_rate_ms(lambda s: f(s, *ops), x, iters=50)
         emit({"metric": "dispatch_k_operands", "k": k, "ms": round(ms, 4)})
 
 
@@ -92,7 +92,7 @@ def probe_ntt_variants(log2n: int) -> None:
     )
 
     f_args = jax.jit(lambda v, t: ntt_forward(v, t, fc))
-    ms = chain_time_ms(lambda s: f_args(s, tabs), x, iters=50)
+    ms = dispatch_rate_ms(lambda s: f_args(s, tabs), x, iters=50)
     emit({"metric": f"ntt_2p{log2n}_per_stage_operands", "ms": round(ms, 4)})
 
     packed, offsets = _pack_tables_host(mod, n)
@@ -119,11 +119,11 @@ def probe_ntt_variants(log2n: int) -> None:
     f_packed = jax.jit(
         lambda v, buf: ntt_forward(v, PackedTables(unpack(buf), n), fc)
     )
-    ms = chain_time_ms(lambda s: f_packed(s, packed), x, iters=50)
+    ms = dispatch_rate_ms(lambda s: f_packed(s, packed), x, iters=50)
     emit({"metric": f"ntt_2p{log2n}_packed_tables", "ms": round(ms, 4)})
 
     f_baked = jax.jit(lambda v: ntt_forward(v, tabs, fc))
-    ms = chain_time_ms(lambda s: f_baked(s), x, iters=50)
+    ms = dispatch_rate_ms(lambda s: f_baked(s), x, iters=50)
     emit({"metric": f"ntt_2p{log2n}_baked_tables", "ms": round(ms, 4)})
 
     # all clocks stopped: D2H is allowed now.  The host-rebuilt packed

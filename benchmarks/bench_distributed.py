@@ -44,7 +44,8 @@ def main() -> None:
 
     sntt = NTT(cfg)
     xs = jax.device_put(u64_from_numpy(x))
-    single_ms = chain_time_ms(lambda s: sntt.compute_forward(s), xs, 10)
+    step_s, tabs_s = sntt.forward_step()
+    single_ms = chain_time_ms(step_s, xs, tabs_s)
     del sntt
 
     for comm in comms:
@@ -53,10 +54,11 @@ def main() -> None:
             continue
         dntt = DistributedNTT(cfg, mesh, comm=comm)
         xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
-        fwd_ms = chain_time_ms(lambda s: dntt.compute_forward(s), xd, 10)
+        step_f, tabs_f = dntt.forward_step()
+        step_i, tabs_i = dntt.inverse_step()
+        fwd_ms = chain_time_ms(step_f, xd, tabs_f)
         fwd = dntt.compute_forward(xd)
-        jax.block_until_ready(fwd)
-        inv_ms = chain_time_ms(lambda s: dntt.compute_inverse(s), fwd, 10)
+        inv_ms = chain_time_ms(step_i, fwd, tabs_i)
         emit(
             {
                 "n": n,

@@ -82,10 +82,9 @@ def verify(ntt: NTT, x: np.ndarray, fwd_dev: U64) -> bool:
 
 
 def run_config(name: str) -> None:
-    """Time-then-verify one config (run in its own process: the first
-    device-to-host readback permanently degrades the tunnel's dispatch
-    path by ~1.5 ms/call, so timing must precede ANY verification and
-    every config needs a fresh process -- PERF_NOTES.md round 2)."""
+    """Time-then-verify one config (run in its own process so device and
+    compile state is per-config; utils/truetime.py chains are readback-
+    forced, so ordering vs verification no longer matters for truth)."""
     rng = np.random.default_rng(0)
     [(name, log2n, N, g, engine, modmul)] = [c for c in CONFIGS if c[0] == name]
     n = 1 << log2n
@@ -100,14 +99,13 @@ def run_config(name: str) -> None:
     x = rng.integers(0, N, n, dtype=np.uint64)
     xd = jax.device_put(u64_from_numpy(x))
 
-    fwd = ntt.compute_forward(xd)  # warm-up / compile (no readback)
-    jax.block_until_ready(fwd)
-    jax.block_until_ready(ntt.compute_inverse(fwd))
+    fwd = ntt.compute_forward(xd)  # warm-up / compile
 
-    iters = 20 if log2n <= 20 else 8
-    ms_f = chain_time_ms(lambda s: ntt.compute_forward(s), xd, iters)
-    ms_i = chain_time_ms(lambda s: ntt.compute_inverse(s), fwd, iters)
-    ok = verify(ntt, x, fwd)  # D2H happens only after the clocks stop
+    step_f, tabs_f = ntt.forward_step()
+    step_i, tabs_i = ntt.inverse_step()
+    ms_f = chain_time_ms(step_f, xd, tabs_f)
+    ms_i = chain_time_ms(step_i, fwd, tabs_i)
+    ok = verify(ntt, x, fwd)
     bfly = n * log2n / 2
     for direction, ms in (("forward", ms_f), ("inverse", ms_i)):
         emit(

@@ -1,8 +1,12 @@
 """Shared benchmark utilities.
 
-All timings use chained dependent executions inside one block_until_ready:
-single-call timings through the axon tunnel carry a flat ~27 ms completion
-poll regardless of device time (see .claude/skills/verify/SKILL.md).
+All timings use ``sventt_tpu.utils.truetime``: one jitted fori_loop chain
+per measurement, completion forced by a one-element device-to-host
+readback, flat tunnel RTT subtracted.  ``jax.block_until_ready`` through
+the axon tunnel acknowledges DISPATCH, not completion (round-3 ground
+truth, PERF_NOTES.md), so block-based chains measure dispatch rate --
+kept available as ``dispatch_rate_ms`` for the dispatch-path benchmark
+only.
 """
 
 from __future__ import annotations
@@ -14,21 +18,34 @@ import time
 import jax
 
 
-#: Minimum wall time of one timed chain (the autotuner's MIN_CHAIN_S):
-#: below this, tunnel jitter is comparable to the measurement itself.
-MIN_CHAIN_MS = 50.0
+def chain_time_ms(
+    step,
+    state,
+    tables=(),
+    seconds: float = 2.0,
+    reps: int = 2,
+) -> float:
+    """Truthful per-step milliseconds (median of ``reps`` chains).
 
-#: Chain-length cap during adaptive lengthening.
-MAX_CHAIN_ITERS = 512
+    ``step(state, *tables) -> state``.  Pass twiddle tables and other large
+    operands via ``tables`` -- the chain program traces ``step``, so
+    anything closed over is baked into its HLO (hundreds of MB for 2^24
+    tables -> HTTP 413 through the remote-compile tunnel).
+    """
+    from sventt_tpu.utils.truetime import time_chained
+
+    return time_chained(
+        step, state, tables, seconds=seconds, reps=reps
+    ).ms
 
 
-def chain_time_ms(step, state, iters: int = 20, reps: int = 2) -> float:
-    """Amortized timing: dependent steps chained inside one block_until_ready.
+def dispatch_rate_ms(step, state, iters: int = 20, reps: int = 2) -> float:
+    """Per-call DISPATCH time of ``step`` (NOT device time).
 
-    The chain is lengthened adaptively until one chain takes >= MIN_CHAIN_MS
-    of wall time (fast configs would otherwise be judged on tunnel noise),
-    then the MEDIAN over 1+``reps`` full-length chains is returned (the
-    tunnel occasionally returns an impossibly fast chain; min latches it).
+    The pre-round-3 chain timer: k dependent dispatches inside one
+    block_until_ready, which through the tunnel returns at dispatch-ack.
+    Only meaningful for characterizing the dispatch path itself
+    (benchmarks/bench_dispatch.py); never report it as kernel time.
     """
     state = jax.block_until_ready(step(state))  # warm-up / compile
 
@@ -40,11 +57,7 @@ def chain_time_ms(step, state, iters: int = 20, reps: int = 2) -> float:
         jax.block_until_ready(s)
         return (time.perf_counter() - t0) / k * 1e3
 
-    ms = chain(iters)
-    while iters < MAX_CHAIN_ITERS and ms * iters < MIN_CHAIN_MS:
-        iters = min(MAX_CHAIN_ITERS, iters * 2)
-        ms = chain(iters)
-    samples = sorted([ms] + [chain(iters) for _ in range(reps)])
+    samples = sorted(chain(iters) for _ in range(1 + reps))
     return samples[len(samples) // 2]
 
 

@@ -168,6 +168,18 @@ class DistributedNTT:
         """The sharding transforms expect for the flat coefficient vector."""
         return NamedSharding(self.mesh, P(self.axes))
 
+    def forward_step(self):
+        """(step, tables) for truthful chain timing (utils.truetime),
+        API parity with the single-chip wrapper."""
+        if self._forward is None:
+            raise RuntimeError("forward transform was not enabled")
+        return self._forward, (self._fwd_tw, self._fwd_col, self._fwd_row)
+
+    def inverse_step(self):
+        if self._inverse is None:
+            raise RuntimeError("inverse transform was not enabled")
+        return self._inverse, (self._inv_tw, self._inv_row, self._inv_col)
+
     def compute_forward(self, x: U64) -> U64:
         if self._forward is None:
             raise RuntimeError("forward transform was not enabled")

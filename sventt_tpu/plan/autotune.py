@@ -13,6 +13,7 @@ equivalent for this framework's knobs:
 * ``block_b``           -- sublane/mid kernel lane-tile width
 * ``stages_per_call``   -- butterfly stages fused per pallas_call
 * ``lane_rows``         -- lane-kernel batch-rows block height
+* ``max_r``             -- grouped radix-2^R pallas stage bodies
 * ``chunk_elems``       -- jnp engine VMEM-resident chunk size
 * ``split_w_only``      -- companion-free inter-step twiddle tables
 
@@ -49,7 +50,7 @@ _DEFAULT_CACHE = Path(__file__).resolve().parents[2] / "autotune_cache.json"
 #: Tunable fields copied from a search winner into the returned config.
 KNOB_FIELDS = (
     "engine", "modmul", "max_fused", "block_b", "stages_per_call",
-    "lane_rows", "chunk_elems", "split_w_only",
+    "lane_rows", "max_r", "chunk_elems", "split_w_only",
 )
 
 
@@ -93,7 +94,7 @@ def _device_kind() -> str:
 CONSTRAINT_FIELDS = (
     "strategy", "engine", "modmul", "n0", "n1", "lazy",
     "block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems",
-    "split_w_only",
+    "split_w_only", "max_r",
 )
 
 
@@ -117,39 +118,12 @@ def _log(msg: str) -> None:
     print(f"autotune: {msg}", file=sys.stderr, flush=True)
 
 
-#: Minimum wall time of one timed chain, seconds.  At the 0.1 ms/call scale
-#: run-to-run variance is comparable to the measurement itself (round-2
-#: finding); chains are lengthened adaptively until one chain takes at least
-#: this long, bounding relative timer/tunnel noise to ~1-2%.
-MIN_CHAIN_S = 0.05
-
-#: Chain-length growth cap during adaptive lengthening.
-MAX_CHAIN_ITERS = 512
-
-
-def _chain_once(ntt, x, iters: int) -> float:
-    """One timed chain of ``iters`` dependent forward calls; returns ms/call."""
-    import jax
-
-    y = x
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = ntt.compute_forward(y)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
-def _adaptive_iters(ntt, x, iters: int) -> tuple[int, float]:
-    """Grow the chain length until one chain takes >= MIN_CHAIN_S.
-
-    Returns (final iters, ms/call of the last probe chain).  The probe
-    chains double in length, so total probing costs < 2 final chains.
-    """
-    ms = _chain_once(ntt, x, iters)
-    while iters < MAX_CHAIN_ITERS and ms * iters < MIN_CHAIN_S * 1e3:
-        iters = min(MAX_CHAIN_ITERS, iters * 2)
-        ms = _chain_once(ntt, x, iters)
-    return iters, ms
+#: Target device seconds per timed chain (utils/truetime.py methodology:
+#: one jitted fori_loop chain sized to this much device time, completion
+#: forced by readback, flat RTT subtracted -- block_until_ready through
+#: the tunnel acknowledges dispatch, not completion, so every pre-round-3
+#: chained timing was a dispatch-rate artifact).
+CHAIN_SECONDS = 2.0
 
 
 def _make_input(config: NttConfig):
@@ -175,7 +149,7 @@ JAX_CACHE_DIR = os.path.expanduser("~/.cache/sventt_tpu/xla-cache")
 CANDIDATE_TIMEOUT_S = 900
 
 _TIMER_CHILD = r"""
-import json, sys, time
+import json, sys
 sys.path.insert(0, sys.argv[1])
 spec = json.loads(sys.argv[2])
 import numpy as np
@@ -183,6 +157,8 @@ import jax
 from sventt_tpu.field.limb import u64_from_numpy
 from sventt_tpu.plan.config import NttConfig
 from sventt_tpu.plan.wrapper import NTT
+from sventt_tpu.plan import planner
+from sventt_tpu.utils.truetime import time_chained
 
 cfg = NttConfig(**spec["config"])
 ntt = NTT(cfg, enable_inverse=False)
@@ -190,29 +166,17 @@ rng = np.random.default_rng(0)
 x = jax.device_put(
     u64_from_numpy(rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64))
 )
-jax.block_until_ready(ntt.compute_forward(x))  # compile + warm-up
-
-
-def chain(k):
-    y = x
-    t0 = time.perf_counter()
-    for _ in range(k):
-        y = ntt.compute_forward(y)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / k * 1e3
-
-
-iters = spec["iters"]
-ms = chain(iters)
-while iters < spec["max_iters"] and ms * iters < spec["min_chain_ms"]:
-    iters = min(spec["max_iters"], iters * 2)
-    ms = chain(iters)
-# MEDIAN of the full-length chains, not min: the tunnel occasionally
-# returns an impossibly fast chain (block_until_ready returning early,
-# ~500x off -- observed round 3), and min latches exactly those.
-samples = [ms] + [chain(iters) for _ in range(spec["reps"])]
-samples.sort()
-print(json.dumps({"ms": samples[len(samples) // 2], "samples": samples}))
+plan = ntt.plan
+r = time_chained(
+    lambda v, t: planner.run_forward(v, plan, t),
+    x,
+    (ntt._fwd_tables,),
+    seconds=spec["seconds"],
+    reps=spec["reps"],
+)
+print(json.dumps(
+    {"ms": r.ms, "samples": r.samples, "k": r.k, "rtt_ms": r.rtt_ms}
+))
 """
 
 
@@ -226,26 +190,21 @@ def _repo_root() -> str:
     return str(Path(__file__).resolve().parents[2])
 
 
-def _time_candidate_isolated(config: NttConfig, iters: int, reps: int) -> float:
+def _time_candidate_isolated(config: NttConfig, seconds: float, reps: int) -> float:
     """Time one candidate in a FRESH subprocess.
 
-    Candidate state is NOT confined to the candidate on the tunneled TPU:
-    measured round 3, running one 2^24 fused-pallas candidate degrades the
-    host process's dispatch path to ~25-30 ms/call for every LATER
-    candidate (same class as the D2H degradation, PERF_NOTES.md), which
-    silently turned the staged search into "first candidate wins".  A
-    subprocess per measurement resets tunnel state; the persistent XLA
-    compilation cache (JAX_CACHE_DIR) keeps re-compiles to seconds.
+    Candidate state is NOT confined to the candidate on the tunneled TPU
+    (dispatch-path degradation carries across candidates, PERF_NOTES.md);
+    a subprocess per measurement resets tunnel state, and the persistent
+    XLA compilation cache (JAX_CACHE_DIR) keeps re-compiles to seconds.
     """
     import dataclasses
     import subprocess
 
     spec = {
         "config": dataclasses.asdict(config),
-        "iters": iters,
+        "seconds": seconds,
         "reps": reps,
-        "min_chain_ms": MIN_CHAIN_S * 1e3,
-        "max_iters": MAX_CHAIN_ITERS,
     }
     r = subprocess.run(
         [sys.executable, "-c", _TIMER_CHILD, _repo_root(), json.dumps(spec)],
@@ -261,36 +220,34 @@ def _time_candidate_isolated(config: NttConfig, iters: int, reps: int) -> float:
     return float(json.loads(r.stdout.strip().splitlines()[-1])["ms"])
 
 
-def _time_candidate_inprocess(config: NttConfig, iters: int, reps: int) -> float:
-    import jax
-
+def _time_candidate_inprocess(config: NttConfig, seconds: float, reps: int) -> float:
+    from ..utils.truetime import time_chained
+    from . import planner
     from .wrapper import NTT
 
     ntt = NTT(config, enable_inverse=False)
     x = _make_input(config)
-    out = ntt.compute_forward(x)  # compile + warm-up
-    jax.block_until_ready(out)
-    iters, ms = _adaptive_iters(ntt, x, iters)
-    samples = sorted([ms] + [_chain_once(ntt, x, iters) for _ in range(reps)])
-    del ntt, x, out
+    plan = ntt.plan
+    r = time_chained(
+        lambda v, t: planner.run_forward(v, plan, t),
+        x,
+        (ntt._fwd_tables,),
+        seconds=seconds,
+        reps=reps,
+    )
+    del ntt, x
     gc.collect()
-    return samples[len(samples) // 2]
+    return r.ms
 
 
-def _time_candidate(config: NttConfig, iters: int, reps: int = 2) -> float:
-    """Chained-dependent-call timing of one candidate's forward transform.
-
-    Single-call timings through the axon tunnel carry a flat ~27 ms
-    completion poll (PERF_NOTES.md); ``iters`` dependent transforms inside
-    one block_until_ready amortize it away.  The chain is lengthened
-    adaptively (MIN_CHAIN_S) so fast configs are not judged on noise.
-    Returns the MEDIAN over 1+``reps`` full-length chains (min would latch
-    the tunnel's occasional impossibly-fast chains).  On the real TPU each
-    candidate runs in its own subprocess (see _time_candidate_isolated).
-    """
+def _time_candidate(config: NttConfig, seconds: float, reps: int = 2) -> float:
+    """Truthful per-transform time of one candidate (median of ``reps``
+    single-dispatch fori_loop chains of ~``seconds`` device time each;
+    utils/truetime.py).  On the real TPU each candidate runs in its own
+    subprocess (see _time_candidate_isolated)."""
     if _backend() == "tpu":
-        return _time_candidate_isolated(config, iters, reps)
-    return _time_candidate_inprocess(config, iters, reps)
+        return _time_candidate_isolated(config, seconds, reps)
+    return _time_candidate_inprocess(config, seconds, reps)
 
 
 #: Finalists within this factor of the greedy winner enter the playoff.
@@ -303,7 +260,7 @@ PLAYOFF_ROUNDS = 3
 
 
 def _playoff(
-    finalists: list[tuple[str, NttConfig]], iters: int,
+    finalists: list[tuple[str, NttConfig]], seconds: float,
     timings: dict[str, float],
 ) -> tuple[NttConfig, float]:
     """Interleaved re-measurement of near-tied candidates.
@@ -320,7 +277,7 @@ def _playoff(
     for _ in range(PLAYOFF_ROUNDS):
         for tag, cfg in finalists:
             try:
-                rounds[tag].append(_time_candidate(cfg, iters))
+                rounds[tag].append(_time_candidate(cfg, seconds))
             except Exception as e:
                 _log(f"playoff {tag}: FAILED ({type(e).__name__})")
     best: dict[str, float] = {}
@@ -363,6 +320,7 @@ def _modmul_candidates(config: NttConfig) -> list[str]:
 #: time blows up on the tail-stage unroll (ops/ntt_pallas.py MAX_FUSED).
 PLAN_GRID = (128, 256)
 KNOB_GRID = (
+    ("max_r", (1, 3)),
     ("block_b", (128, 256, 512)),
     ("stages_per_call", (3, 5, 8)),
     ("lane_rows", (32, 64, 128)),
@@ -375,7 +333,7 @@ JNP_KNOB_GRID = (
 
 
 def search(
-    config: NttConfig, iters: int | None = None
+    config: NttConfig, seconds: float | None = None
 ) -> tuple[NttConfig, float, dict[str, float]]:
     """Staged greedy search.
 
@@ -385,16 +343,15 @@ def search(
     tunnel measurement of a losing candidate must not be recorded as the
     entry's best_ms (round-3 fix).
     """
-    if iters is None:
-        # keep each measurement around a second of device time
-        iters = max(4, min(20, (1 << 27) // config.n))
+    if seconds is None:
+        seconds = CHAIN_SECONDS
     base = config.with_(tune=False)
     timings: dict[str, float] = {}
     candidates: dict[str, NttConfig] = {}
 
     def timed(cfg: NttConfig, tag: str) -> float:
         try:
-            ms = _time_candidate(cfg, iters)
+            ms = _time_candidate(cfg, seconds)
         except Exception as e:  # candidate failed to build/compile
             _log(f"{tag}: FAILED ({type(e).__name__}: {e})")
             ms = float("inf")
@@ -424,7 +381,7 @@ def search(
         finalists = finalists[:limit]
         if len(finalists) < 2:
             return best, best_ms, timings
-        winner, winner_ms = _playoff(finalists, iters, timings)
+        winner, winner_ms = _playoff(finalists, seconds, timings)
         return winner, winner_ms, timings
 
     # Stage A: engine x modmul on default knobs.
@@ -481,7 +438,10 @@ def search(
     # Stage C: coordinate descent over the kernel knobs.
     from ..ops.ntt_pallas import BLOCK_B, LANE_BLOCK_ROWS, MAX_STAGES_PER_CALL
 
+    from ..ops.ntt_pallas import DEFAULT_MAX_RADIX
+
     defaults = {
+        "max_r": DEFAULT_MAX_RADIX,
         "block_b": BLOCK_B,
         "stages_per_call": MAX_STAGES_PER_CALL,
         "lane_rows": LANE_BLOCK_ROWS,
@@ -503,7 +463,7 @@ def tune(
     config: NttConfig,
     *,
     force: bool = False,
-    iters: int | None = None,
+    seconds: float | None = None,
     cache_path: str | os.PathLike | None = None,
     on_miss: str = "search",
 ) -> NttConfig:
@@ -527,7 +487,7 @@ def tune(
 
     _log(f"tuning {key} (no cache entry)")
     t0 = time.perf_counter()
-    best, best_ms, timings = search(config, iters)
+    best, best_ms, timings = search(config, seconds)
     _verify_winner(config, best)
     _log(f"winner {_tag(best)} in {time.perf_counter() - t0:.0f}s")
     data[key] = {

@@ -60,6 +60,10 @@ class NttConfig:
     stages_per_call: int | None = None  # butterfly stages per pallas_call
     lane_rows: int | None = None  # lane-kernel batch-rows block height
     max_fused: int | None = None  # largest fused leaf in the plan tree
+    #: Pallas leaves: fold stages into radix-2^max_r grouped bodies (the
+    #: reference's radix-4/8 layer structure, layer/sve/radix-eight.hpp);
+    #: None/1 = per-stage radix-2 (ops/ntt_pallas.py DEFAULT_MAX_RADIX).
+    max_r: int | None = None
     #: jnp engine: VMEM-resident chunk size in elements (None = the
     #: measured default, plan/planner.py JNP_RESIDENT_ELEMS).
     chunk_elems: int | None = None
@@ -106,6 +110,8 @@ class NttConfig:
             v = getattr(self, name)
             if v is not None and (v < 1 or (name != "stages_per_call" and not _is_pow2(v))):
                 raise ValueError(f"{name} must be a positive power of two, got {v}")
+        if self.max_r is not None and not 1 <= self.max_r <= 4:
+            raise ValueError(f"max_r must be in 1..4, got {self.max_r}")
         if self.strategy == "six_step" or (
             self.strategy == "auto" and self.n > self.ITERATIVE_MAX
         ):

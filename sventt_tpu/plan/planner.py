@@ -157,13 +157,16 @@ class PlanTables:
         chunk_elems: int | None = None,
         split_w_only: bool | None = None,
         transpose: str | None = None,
+        max_r: int | None = None,
     ):
         self.plan = plan
         self.mod = mod
         self.fc = fc
         self.inverse = inverse
         # autotunable kernel knobs
-        self.knobs = (block_b, spc, rows, chunk_elems, split_w_only, transpose)
+        self.knobs = (
+            block_b, spc, rows, chunk_elems, split_w_only, transpose, max_r,
+        )
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
@@ -185,7 +188,7 @@ class PlanTables:
                 block_b, spc = self.knobs[0], self.knobs[1]
                 t = ntt_pallas.make_leaf_tables(
                     self.mod, node.m, inverse=self.inverse, modmul=modmul,
-                    block_b=block_b, spc=spc,
+                    block_b=block_b, spc=spc, max_r=self.knobs[6],
                 )
             elif self.inverse:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)
@@ -203,6 +206,7 @@ class PlanTables:
                 self.lane[node.m1] = ntt_pallas.make_lane_tables(
                     self.mod, node.m1, inverse=self.inverse,
                     modmul=self.fc.modmul, rows=self.knobs[2],
+                    max_r=self.knobs[6],
                 )
             self._prepare(node.col)
             self._prepare(node.row)

@@ -91,7 +91,7 @@ class NTT:
         knobs = dict(
             block_b=cfg.block_b, spc=cfg.stages_per_call, rows=cfg.lane_rows,
             chunk_elems=cfg.chunk_elems, split_w_only=cfg.split_w_only,
-            transpose=cfg.transpose,
+            transpose=cfg.transpose, max_r=cfg.max_r,
         )
         if enable_forward:
             self._fwd_tables = planner.PlanTables(
@@ -170,6 +170,32 @@ class NTT:
 
         walk(self.plan, 0, batched)
         return "\n".join(lines)
+
+    def forward_step(self):
+        """(step, tables) for truthful chain timing (utils.truetime).
+
+        ``time_chained(step, x, tables)`` traces the step into one
+        fori_loop program; the tables tuple keeps the twiddles as jit
+        ARGUMENTS (closing over them would bake hundreds of MB into the
+        chain program's HLO).
+        """
+        if self._fwd is None:
+            raise RuntimeError("forward transform was not enabled")
+        plan = self.plan
+        return (
+            lambda v, t: planner.run_forward(v, plan, t),
+            (self._fwd_tables,),
+        )
+
+    def inverse_step(self):
+        """Mirror of forward_step for the inverse transform."""
+        if self._inv is None:
+            raise RuntimeError("inverse transform was not enabled")
+        plan = self.plan
+        return (
+            lambda v, t: planner.run_inverse(v, plan, t),
+            (self._inv_tables,),
+        )
 
     def compute_forward(self, x: U64) -> U64:
         if self._fwd is None:

@@ -6,7 +6,7 @@ a K=512 chain of 2^24 transforms "completed" in 0.4 ms of block time and
 then took 37.5 s to produce a byte.  Every timing that ends in
 block_until_ready is a dispatch-rate measurement.  The only truthful clock
 is wall time from dispatch to a device-to-host readback of (an element of)
-the final result, minus the flat tunnel round-trip, divided by the chain
+the final result, minus the flat per-chain overhead, divided by the chain
 length.
 
 This module is the one timing methodology for every harness in the repo:
@@ -14,9 +14,12 @@ This module is the one timing methodology for every harness in the repo:
 * the chain is ONE jitted ``lax.fori_loop`` program with a DYNAMIC trip
   count -- one dispatch regardless of k (so the ~1.5 ms/dispatch post-D2H
   degraded path cannot pollute per-op time), one compile regardless of k;
-* completion is forced by reading back a single element of the result;
-* the flat dispatch+readback RTT of a trivial warm program is measured and
-  subtracted;
+* completion is forced by a jitted one-element extraction of the result
+  followed by a 4-byte readback (works for sharded arrays too);
+* the fixed overhead (dispatch + extract + readback round trip) is
+  measured with a ZERO-iteration run of the same chain program and
+  subtracted -- the calibration path is byte-for-byte the measurement
+  path;
 * the chain length is sized from a short probe chain so one full chain
   takes ``seconds`` of device time, and the reported value is the MEDIAN
   of ``reps`` full chains.
@@ -32,14 +35,24 @@ from dataclasses import dataclass
 
 import numpy as np
 
+_extract_fn = None
+
 
 def _read_one(y) -> None:
-    """Force completion: D2H one element of the first array leaf of ``y``."""
+    """Force completion: jitted scalar reduction of the first array leaf of
+    ``y`` (sharding-agnostic -- reductions over sharded axes lower to
+    collectives where element slicing does not), then a 4-8 B readback.
+    The reduction costs one pass over the final value, but the same pass
+    is paid by the zero-iteration calibration run, so it cancels out of
+    the per-op time."""
+    global _extract_fn
     import jax
+    import jax.numpy as jnp
 
+    if _extract_fn is None:
+        _extract_fn = jax.jit(lambda a: jnp.min(a))
     leaf = jax.tree_util.tree_leaves(y)[0]
-    idx = (0,) * getattr(leaf, "ndim", 0)
-    np.asarray(leaf[idx] if idx else leaf)
+    np.asarray(_extract_fn(leaf))
 
 
 def measure_rtt(reps: int = 3) -> float:
@@ -66,7 +79,7 @@ def measure_rtt(reps: int = 3) -> float:
 @dataclass
 class ChainResult:
     ms: float  # median per-op milliseconds
-    rtt_ms: float  # measured tunnel round trip
+    rtt_ms: float  # measured fixed per-chain overhead
     k: int  # chain length of the full chains
     samples: list  # per-chain per-op ms, sorted
 
@@ -102,9 +115,11 @@ def time_chained(
         _read_one(y)
         return time.perf_counter() - t0
 
-    # Warm-up: compile + one completed run.
+    # Warm-up: compile both programs + one completed run.
     run(1)
-    rtt = measure_rtt()
+    # Fixed overhead: the SAME dispatch+extract+readback path with zero
+    # chain iterations.
+    rtt = min(run(0) for _ in range(3))
     per = max(run(probe_k) - rtt, 1e-7) / probe_k
     k = max(probe_k, min(max_k, int(seconds / per)))
     samples = sorted(max(run(k) - rtt, 0.0) / k * 1e3 for _ in range(reps))

@@ -186,7 +186,7 @@ def test_subprocess_timer_child():
     """The isolated per-candidate measurement (the TPU path's subprocess
     child) round-trips a config through JSON, times a real transform in a
     fresh interpreter, and reports a sane median."""
-    ms = autotune._time_candidate_isolated(_cfg(1 << 8), iters=2, reps=2)
+    ms = autotune._time_candidate_isolated(_cfg(1 << 8), seconds=0.05, reps=2)
     assert 0 < ms < 60_000
 
 

@@ -58,7 +58,7 @@ def test_phase_breakdown_walks_the_plan():
         NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 15),
         enable_inverse=False,
     )
-    bd = phase_breakdown(ntt, iters=2)
+    bd = phase_breakdown(ntt, seconds=0.05)
     assert "total" in bd
     assert any(k.startswith("level0.rows") for k in bd)
     assert any("col leaf" in k for k in bd)
@@ -72,5 +72,5 @@ def test_phase_breakdown_walks_the_plan():
         ),
         enable_inverse=False,
     )
-    bd_p = phase_breakdown(ntt_p, iters=2)
+    bd_p = phase_breakdown(ntt_p, seconds=0.05)
     assert any("inter-step tw" in k for k in bd_p)
