@@ -96,16 +96,16 @@ def mxu_ntt(xh, xl, M_stack):
     return U64(oh, ol)
 
 t0 = time.perf_counter()
-out = jax.block_until_ready(mxu_ntt(xh, xl, M_stack))
-print(f"compile {time.perf_counter()-t0:.1f}s", flush=True)
-# TIME BEFORE ANY D2H: the first readback permanently degrades the tunnel
-# dispatch path ~1.5 ms/call (PERF_NOTES.md round 2; rounds 1-2 of this
-# re-test timed after the golden check and carried that penalty).
-s = (xh, xl); t0 = time.perf_counter()
-for _ in range(20):
-    o = mxu_ntt(s[0], s[1], M_stack); s = (o.hi, o.lo)
-jax.block_until_ready(o)
-dt = (time.perf_counter()-t0)/20*1e3
+out = mxu_ntt(xh, xl, M_stack)
+from sventt_tpu.utils.truetime import time_chained
+# Truthful timing (round 3): single-dispatch fori chain + forced readback;
+# rounds 1-2 timed this with block_until_ready (dispatch-rate artifact).
+res = time_chained(
+    lambda v, M: mxu_ntt(v.hi, v.lo, M), U64(xh, xl), (M_stack,), seconds=2.0
+)
+print(f"compile+measure {time.perf_counter()-t0:.1f}s "
+      f"(k={res.k}, rtt {res.rtt_ms:.1f} ms, samples {res.samples})", flush=True)
+dt = res.ms
 outn = u64_to_numpy(out)
 golden = GoldenNTT(R, mod)
 for col in (0, 7777):

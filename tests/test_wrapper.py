@@ -228,3 +228,27 @@ def test_split_w_only_knob(rng, w_only):
     got = NTT(base.with_(split_w_only=w_only)).forward_numpy(x)
     want = NTT(base).forward_numpy(x)
     assert (got == want).all()
+
+
+def test_step_helpers_match_compute(rng):
+    """forward_step/inverse_step (the truthful-timing entry points) must be
+    bit-identical to compute_forward/compute_inverse -- they are the same
+    planner programs with tables passed explicitly."""
+    import jax
+
+    from sventt_tpu.field.limb import u64_from_numpy, u64_to_numpy
+
+    cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 11)
+    ntt = NTT(cfg)
+    x = jax.device_put(
+        u64_from_numpy(rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64))
+    )
+    step_f, tabs_f = ntt.forward_step()
+    got = u64_to_numpy(ntt.fc.normalize(step_f(x, *tabs_f)))
+    want = u64_to_numpy(ntt.fc.normalize(ntt.compute_forward(x)))
+    np.testing.assert_array_equal(got, want)
+    step_i, tabs_i = ntt.inverse_step()
+    fwd = ntt.compute_forward(x)
+    got_i = u64_to_numpy(ntt.fc.normalize(step_i(fwd, *tabs_i)))
+    want_i = u64_to_numpy(ntt.fc.normalize(ntt.compute_inverse(fwd)))
+    np.testing.assert_array_equal(got_i, want_i)
