@@ -5,10 +5,10 @@ The analogue of the reference's bench-transpose autotuning corpus
 shape, verified by inverse-transpose after timing).  Results feed the
 strategy choice in ops/transpose.py.
 
-ALL timing happens before the first device-to-host readback: the first
-D2H permanently degrades the tunnel dispatch path to ~1.5 ms/call for the
-rest of the process (PERF_NOTES.md round 2), so verification is a second
-pass after every clock has stopped -- same discipline as bench.py.
+Timing via utils/truetime (single-dispatch fori chains, forced readback):
+each chain iteration is transpose -> barrier -> transpose back -> barrier,
+with `optimization_barrier` keeping both transposes materialized (a fused
+T(T(x)) would be optimized to identity).  Verification is a second pass.
 
 Emits one JSON line per point:
   {"strategy", "rows", "cols", "block", "ms", "gbps", "verified"}
@@ -39,23 +39,21 @@ SHAPES = [
 BLOCKS = [128, 256, 512]
 
 
-def _alt_chain_ms(make_step, x, iters: int = 20) -> float:
-    """Alternate two separately-jitted transposes (r,c)->(c,r)->(r,c).
+def _alt_chain_ms(transpose_one, x) -> float:
+    """Two transposes per chain iteration, barrier-separated.
 
-    A single jitted T(T(x)+1) is fused to identity+elementwise by XLA and
-    measures nothing; two distinct compiled programs per direction defeat
-    that (the +1 between them keeps each transpose materialized).
+    ``transpose_one`` maps (r, c) -> (c, r); applying it twice restores the
+    carry shape for the fori chain.  `optimization_barrier` after each
+    transpose (+1 to touch the data) stops XLA from fusing T(T(x)) into an
+    identity.  Returns truthful ms per SINGLE transpose.
     """
-    import time
+    from sventt_tpu.utils.truetime import time_chained
 
-    f1, f2 = make_step(), make_step()
-    s = jax.block_until_ready(f2(f1(x)))
-    t0 = time.perf_counter()
-    s = x
-    for _ in range(iters):
-        s = f2(f1(s))
-    jax.block_until_ready(s)
-    return (time.perf_counter() - t0) / iters / 2 * 1e3
+    def step(a):
+        y = jax.lax.optimization_barrier(transpose_one(a) + jnp.uint32(1))
+        return jax.lax.optimization_barrier(transpose_one(y) + jnp.uint32(1))
+
+    return time_chained(step, x, seconds=1.0, reps=2).ms / 2
 
 
 def main() -> None:
@@ -72,9 +70,7 @@ def main() -> None:
         )
         inputs[(r, c)] = x
 
-        ms = _alt_chain_ms(
-            lambda: jax.jit(lambda a: transpose_xla(a) + jnp.uint32(1)), x
-        )
+        ms = _alt_chain_ms(transpose_xla, x)
         rows.append({"strategy": "xla", "rows": r, "cols": c, "block": None, "ms": ms})
 
         for b in BLOCKS:
@@ -82,10 +78,7 @@ def main() -> None:
                 continue
             try:
                 ms = _alt_chain_ms(
-                    lambda b=b: jax.jit(
-                        lambda a: transpose_pallas(a, b, b) + jnp.uint32(1)
-                    ),
-                    x,
+                    lambda a, b=b: transpose_pallas(a, b, b), x
                 )
                 rows.append(
                     {"strategy": "pallas", "rows": r, "cols": c, "block": b, "ms": ms}
