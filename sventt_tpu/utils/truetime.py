@@ -120,15 +120,30 @@ def time_chained(
     # Fixed overhead: the SAME dispatch+extract+readback path with zero
     # chain iterations.
     rtt = min(run(0) for _ in range(3))
-    per = max(run(probe_k) - rtt, 1e-7) / probe_k
+    # Size k from the MIN of 3 probe chains: a single transient tunnel
+    # stall during one probe would otherwise mis-size every measurement
+    # chain (k collapses toward probe_k and the result drowns in RTT
+    # noise).  min is the robust choice -- stalls only ever inflate.
+    per = max(min(run(probe_k) for _ in range(3)) - rtt, 1e-7) / probe_k
     k = max(probe_k, min(max_k, int(seconds / per)))
     samples = sorted(max(run(k) - rtt, 0.0) / k * 1e3 for _ in range(reps))
     return ChainResult(
-        ms=samples[len(samples) // 2],
+        ms=_median_sorted(samples),
         rtt_ms=rtt * 1e3,
         k=k,
         samples=samples,
     )
+
+
+def _median_sorted(samples: list) -> float:
+    """True median of an already-sorted list (averages the middle pair for
+    even counts -- ``samples[len//2]`` would return the MAX of a 2-sample
+    list, high-biasing every reps=2 harness)."""
+    n = len(samples)
+    mid = n // 2
+    if n % 2:
+        return samples[mid]
+    return (samples[mid - 1] + samples[mid]) / 2.0
 
 
 def stream_gbps(log2elems: int = 26, seconds: float = 2.0) -> float:

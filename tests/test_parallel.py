@@ -71,6 +71,29 @@ def test_distributed_roundtrip(mesh, rng):
     np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
 
 
+def test_distributed_pallas_engine(mesh, rng):
+    """Fused Pallas leaf kernels INSIDE shard_map on the CPU mesh
+    (interpret mode): the production TPU multi-chip composition is pallas
+    leaves under a check_vma=False shard_map (parallel/sixstep.py), and it
+    must not be first executed on a real pod (round-3 VERDICT item 7)."""
+    cfg = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step",
+        engine="pallas",
+    )
+    dntt = DistributedNTT(cfg, mesh)
+    assert not dntt._row_is_jnp_leaf()  # the composition under test
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+    fwd_d = dntt.compute_forward(xd)
+    fwd_s = NTT(cfg, enable_inverse=False).compute_forward(u64_from_numpy(x))
+    np.testing.assert_array_equal(
+        u64_to_numpy(dntt.fc.normalize(fwd_d)),
+        u64_to_numpy(dntt.fc.normalize(fwd_s)),
+    )
+    back = dntt.compute_inverse(fwd_d)
+    np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
+
+
 def test_distributed_cyclic_convolution(mesh, rng):
     """apps.cyclic_convolve duck-types over DistributedNTT: the whole
     forward -> Montgomery pointwise product -> inverse pipeline runs
