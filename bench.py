@@ -49,7 +49,7 @@ _STREAM_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "stream_calibration.json")
 
 
-def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 60) -> None:
+def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 180) -> None:
     """Block until the TPU answers a trivial dispatch, probing in subprocesses.
 
     The tunneled device can wedge for tens of minutes (e.g. after a killed
@@ -61,6 +61,10 @@ def _wait_for_device(max_wait_s: int = 2700, probe_timeout_s: int = 60) -> None:
     initialization (outages of many hours observed), and a hung benchmark is
     worse for the calling harness than a clean failure.  Disable with
     BENCH_PROBE=0; lengthen with BENCH_MAX_WAIT_S.
+
+    probe_timeout_s must tolerate a SLOW-but-healthy tunnel: a trivial
+    dispatch has been measured taking 2m48s during congestion and then
+    succeeding, so 60s probes would spuriously fail a usable device.
     """
     import subprocess
 
@@ -138,7 +142,10 @@ def _stream_gbps_cached(seconds: float) -> float:
         return float(cache[kind])
     from sventt_tpu.utils.truetime import stream_gbps
 
-    gbps = stream_gbps(24, seconds=min(seconds, 1.0))
+    # 2^26 elements = 256 MB: must EXCEED VMEM so this is HBM bandwidth --
+    # a 64 MB buffer stays VMEM-resident and reads ~5.6 TB/s (the VMEM
+    # stream number, PERF_NOTES.md), inflating the roofline ~8.5x.
+    gbps = stream_gbps(26, seconds=min(seconds, 1.0))
     print(f"bench: stream {gbps:.0f} GB/s (measured, {kind!r})", file=sys.stderr)
     cache[kind] = round(gbps, 1)
     try:
@@ -226,17 +233,19 @@ def main() -> None:
         return
 
     # Verification via 8-byte checksum: sum of the normalized output's u32
-    # limbs mod 2^32, computed on device (one extra forward + reduction) and
-    # compared against the same checksum of the host golden oracle on the
-    # same iota input.  No 128 MB D2H readback (round-3 failure mode).
-    plan, fc = ntt.plan, ntt.fc
-    from sventt_tpu.plan import planner
+    # limbs mod 2^32, computed on device and compared against the same
+    # checksum of the host golden oracle on the same iota input.  No 128 MB
+    # D2H readback (round-3 failure mode), and the forward runs through the
+    # ALREADY-COMPILED chain program (k=1) -- jitting the forward separately
+    # would be a second multi-minute remote compile at 2^24.
+    fc = ntt.fc
+    y = res.chain_fn(x, np.int32(1), *tables)
 
-    def _ck(v, t):
-        y = fc.normalize(planner.run_forward(v, plan, t))
-        return (jnp.sum(y.hi, dtype=jnp.uint32), jnp.sum(y.lo, dtype=jnp.uint32))
+    def _ck(v):
+        z = fc.normalize(v)
+        return (jnp.sum(z.hi, dtype=jnp.uint32), jnp.sum(z.lo, dtype=jnp.uint32))
 
-    dev_hi, dev_lo = (int(np.asarray(v)) for v in jax.jit(_ck)(x, *tables))
+    dev_hi, dev_lo = (int(np.asarray(v)) for v in jax.jit(_ck)(y))
 
     from sventt_tpu import native
 

@@ -33,12 +33,21 @@ from sventt_tpu.field.limb import u64_from_numpy
 from sventt_tpu.plan import NTT, NttConfig
 from sventt_tpu.plan.autotune import KNOB_FIELDS, tune
 
+#: (name, log2n, modulus, generator, engine, modmul) -- the FULL
+#: bench_ntt.py matrix (same names, same constraint pins, so the cache
+#: keys written here are exactly the keys bench_ntt.py and bench.py look
+#: up).  Constrained entries (pinned engine/modmul) search the reduced
+#: candidate set under the same pin.
 CONFIGS = [
-    ("iterative-2p12", 12, TEST_MODULUS, TEST_GENERATOR),
-    ("sixstep-2p17-flagship", 17, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR),
-    ("sixstep-2p20-flagship", 20, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR),
-    ("blocked-2p24-flagship", 24, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR),
-    ("blocked-2p24-shoup", 24, TEST_MODULUS, TEST_GENERATOR),
+    ("iterative-2p10", 10, TEST_MODULUS, TEST_GENERATOR, "auto", "auto"),
+    ("iterative-2p12", 12, TEST_MODULUS, TEST_GENERATOR, "auto", "auto"),
+    ("sixstep-2p15", 15, TEST_MODULUS, TEST_GENERATOR, "auto", "auto"),
+    ("sixstep-2p17-flagship", 17, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("sixstep-2p20-flagship", 20, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("sixstep-2p20-jnp", 20, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "jnp", "auto"),
+    ("blocked-2p24-flagship", 24, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("blocked-2p24-shoup", 24, TEST_MODULUS, TEST_GENERATOR, "auto", "shoup"),
+    ("huge-2p26-flagship", 26, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
 ]
 
 QUICK = {"sixstep-2p17-flagship"}
@@ -50,9 +59,9 @@ def run_config(name: str, force: bool) -> None:
     (PERF_NOTES.md round 2), so the comparison re-execs with --ab (cache
     hit, clean state)."""
     rng = np.random.default_rng(0)
-    [(name, log2n, N, g)] = [c for c in CONFIGS if c[0] == name]
+    [(name, log2n, N, g, engine, modmul)] = [c for c in CONFIGS if c[0] == name]
     n = 1 << log2n
-    base = NttConfig(N, g, n)
+    base = NttConfig(N, g, n, engine=engine, modmul=modmul)
     if "--ab" not in sys.argv:
         import os
         import subprocess

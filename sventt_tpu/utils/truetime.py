@@ -82,6 +82,12 @@ class ChainResult:
     rtt_ms: float  # measured fixed per-chain overhead
     k: int  # chain length of the full chains
     samples: list  # per-chain per-op ms, sorted
+    #: The compiled chain program ``chain_fn(x, np.int32(k), *tables)``.
+    #: ``chain_fn(x, 1, *tables)`` is one application of ``step`` through the
+    #: ALREADY-COMPILED program -- callers verifying the timed computation
+    #: should use it instead of jitting ``step`` separately (a second
+    #: multi-minute remote compile for 2^24-scale programs).
+    chain_fn: object = None
 
 
 def time_chained(
@@ -132,6 +138,7 @@ def time_chained(
         rtt_ms=rtt * 1e3,
         k=k,
         samples=samples,
+        chain_fn=chain_k,
     )
 
 
