@@ -96,6 +96,32 @@ jax.tree_util.register_dataclass(
 )
 
 
+#: Stages with fewer distinct twiddles than this many sublanes use the
+#: tiled layout even under ``tw_layout="hybrid"``: sub-8-sublane operand
+#: tiles are below the (8, 128) register tile and read through a slow
+#: Mosaic path (round-2 observation, re-adjudicated truthfully in round 4).
+DEDUP_MIN_ROWS = 8
+
+
+def _stage_tiled(l: int, m: int, tw_layout: str) -> bool:
+    """Whether stage half-width ``l`` stores the full (m/2, b) butterfly
+    layout (True) or only its ``l`` distinct rows (False).
+
+    ``tiled``: always full -- 4x VMEM but every operand read is a plain
+    aligned row run.  ``dedup``: always distinct rows -- minimal VMEM, the
+    TPU's store_precomputation trade (reference layer/sve/radix-two.hpp:
+    96-138 loads one twiddle vector instead of a stream).  ``hybrid``:
+    dedup except the sub-8-row tail stages (DEDUP_MIN_ROWS).
+    """
+    if tw_layout == "tiled":
+        return True
+    if tw_layout == "dedup":
+        return False
+    if tw_layout == "hybrid":
+        return l < DEDUP_MIN_ROWS
+    raise ValueError(f"unknown tw_layout {tw_layout!r}")
+
+
 def _expand_pair(
     pair, m: int, l: int, block_b: int, tiled: bool = False
 ) -> tuple[jnp.ndarray, ...]:
@@ -118,7 +144,7 @@ def make_fused_forward(
     modmul: str = "montgomery",
     block_b: int | None = None,
     spc: int | None = None,
-    tiled_tw: bool = True,
+    tw_layout: str = "tiled",
 ) -> FusedDirection:
     block_b = block_b or BLOCK_B
     tabs = forward_tables(mod, m, modmul)
@@ -126,7 +152,7 @@ def make_fused_forward(
     for s, pair in enumerate(tabs.stages):  # l = m/2 ... 1
         l = m >> (s + 1)
         ls.append(l)
-        tw.append(_expand_pair(pair, m, l, block_b, tiled_tw))
+        tw.append(_expand_pair(pair, m, l, block_b, _stage_tiled(l, m, tw_layout)))
     return FusedDirection(
         m, False, tuple(ls), tuple(tw), (), block_b, spc or MAX_STAGES_PER_CALL
     )
@@ -139,7 +165,7 @@ def make_fused_inverse(
     modmul: str = "montgomery",
     block_b: int | None = None,
     spc: int | None = None,
-    tiled_tw: bool = True,
+    tw_layout: str = "tiled",
 ) -> FusedDirection:
     block_b = block_b or BLOCK_B
     tabs = inverse_tables(mod, m, scale_extra, modmul)
@@ -147,7 +173,7 @@ def make_fused_inverse(
     for s, pair in enumerate(tabs.stages):  # l = 1 ... m/2
         l = 1 << s
         ls.append(l)
-        tw.append(_expand_pair(pair, m, l, block_b, tiled_tw))
+        tw.append(_expand_pair(pair, m, l, block_b, _stage_tiled(l, m, tw_layout)))
     sc = []
     for a in (
         tabs.scale.w.hi,
@@ -492,19 +518,26 @@ def make_grouped_inverse(
 def make_leaf_tables(
     mod: Modulus, m: int, *, inverse: bool, modmul: str = "montgomery",
     max_r: int | None = None, block_b: int | None = None, spc: int | None = None,
+    tw_layout: str | None = None,
 ):
     """Sublane leaf tables: per-stage radix-2 by default (DEFAULT_MAX_RADIX),
     radix-grouped with max_r>1 (kept for A/B benchmarking).  ``block_b`` /
-    ``spc`` are the autotunable lane-tile width and stages-per-call."""
+    ``spc`` / ``tw_layout`` are the autotunable lane-tile width,
+    stages-per-call, and stage-twiddle storage layout."""
     if max_r is None:
         max_r = DEFAULT_MAX_RADIX
+    tw_layout = tw_layout or "tiled"
     if max_r > 1:
         if inverse:
             return make_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
         return make_grouped_forward(mod, m, modmul=modmul, max_r=max_r)
     if inverse:
-        return make_fused_inverse(mod, m, modmul=modmul, block_b=block_b, spc=spc)
-    return make_fused_forward(mod, m, modmul=modmul, block_b=block_b, spc=spc)
+        return make_fused_inverse(
+            mod, m, modmul=modmul, block_b=block_b, spc=spc, tw_layout=tw_layout
+        )
+    return make_fused_forward(
+        mod, m, modmul=modmul, block_b=block_b, spc=spc, tw_layout=tw_layout
+    )
 
 
 def make_lane_tables(

@@ -50,7 +50,7 @@ _DEFAULT_CACHE = Path(__file__).resolve().parents[2] / "autotune_cache.json"
 #: Tunable fields copied from a search winner into the returned config.
 KNOB_FIELDS = (
     "engine", "modmul", "max_fused", "block_b", "stages_per_call",
-    "lane_rows", "max_r", "chunk_elems", "split_w_only",
+    "lane_rows", "max_r", "chunk_elems", "split_w_only", "tw_layout",
 )
 
 
@@ -94,7 +94,7 @@ def _device_kind() -> str:
 CONSTRAINT_FIELDS = (
     "strategy", "engine", "modmul", "n0", "n1", "lazy",
     "block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems",
-    "split_w_only", "max_r",
+    "split_w_only", "max_r", "tw_layout",
 )
 
 
@@ -127,16 +127,22 @@ CHAIN_SECONDS = 2.0
 
 
 def _make_input(config: NttConfig):
+    """Deterministic input generated ON DEVICE (iota mod nothing: all
+    values < n <= N satisfy the reduced-input precondition).  A host
+    device_put of the full vector would be a multi-hundred-MB H2D through
+    the tunnel at 2^26+ -- the documented wedge trigger (PERF_NOTES.md)."""
     import jax
+    import jax.numpy as jnp
 
-    from ..field.limb import u64_from_numpy
+    from ..field.limb import U64
 
-    rng = np.random.default_rng(0)
-    return jax.device_put(
-        u64_from_numpy(
-            rng.integers(0, config.modulus, config.n, dtype=np.uint64)
+    n = config.n
+    assert n < (1 << 32)
+    return jax.jit(
+        lambda: U64(
+            jnp.zeros((n,), jnp.uint32), jnp.arange(n, dtype=jnp.uint32)
         )
-    )
+    )()
 
 
 #: Default XLA persistent-compilation-cache directory for measurement
@@ -154,18 +160,14 @@ sys.path.insert(0, sys.argv[1])
 spec = json.loads(sys.argv[2])
 import numpy as np
 import jax
-from sventt_tpu.field.limb import u64_from_numpy
 from sventt_tpu.plan.config import NttConfig
 from sventt_tpu.plan.wrapper import NTT
-from sventt_tpu.plan import planner
+from sventt_tpu.plan import planner, autotune
 from sventt_tpu.utils.truetime import time_chained
 
 cfg = NttConfig(**spec["config"])
 ntt = NTT(cfg, enable_inverse=False)
-rng = np.random.default_rng(0)
-x = jax.device_put(
-    u64_from_numpy(rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64))
-)
+x = autotune._make_input(cfg)  # on-device iota: no huge H2D
 plan = ntt.plan
 r = time_chained(
     lambda v, t: planner.run_forward(v, plan, t),
@@ -321,6 +323,7 @@ def _modmul_candidates(config: NttConfig) -> list[str]:
 PLAN_GRID = (128, 256)
 KNOB_GRID = (
     ("max_r", (1, 3)),
+    ("tw_layout", ("tiled", "hybrid", "dedup")),
     ("block_b", (128, 256, 512)),
     ("stages_per_call", (3, 5, 8)),
     ("lane_rows", (32, 64, 128)),
@@ -442,6 +445,7 @@ def search(
 
     defaults = {
         "max_r": DEFAULT_MAX_RADIX,
+        "tw_layout": "tiled",
         "block_b": BLOCK_B,
         "stages_per_call": MAX_STAGES_PER_CALL,
         "lane_rows": LANE_BLOCK_ROWS,
@@ -519,15 +523,12 @@ spec = json.loads(sys.argv[2])
 import numpy as np
 import jax
 import jax.numpy as jnp
-from sventt_tpu.field.limb import u64_from_numpy
 from sventt_tpu.plan.config import NttConfig
 from sventt_tpu.plan.wrapper import NTT
+from sventt_tpu.plan import autotune
 
 base, best = NttConfig(**spec["base"]), NttConfig(**spec["best"])
-rng = np.random.default_rng(1)
-x = jax.device_put(
-    u64_from_numpy(rng.integers(0, base.modulus, base.n, dtype=np.uint64))
-)
+x = autotune._make_input(base)  # on-device iota: no huge H2D
 nb, nw = NTT(base, enable_inverse=False), NTT(best, enable_inverse=False)
 ref = nb.fc.normalize(nb.compute_forward(x))
 got = nw.fc.normalize(nw.compute_forward(x))

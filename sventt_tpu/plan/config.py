@@ -67,6 +67,13 @@ class NttConfig:
     #: jnp engine: VMEM-resident chunk size in elements (None = the
     #: measured default, plan/planner.py JNP_RESIDENT_ELEMS).
     chunk_elems: int | None = None
+    #: Pallas leaf stage-twiddle storage layout: "tiled" (full (m/2, b)
+    #: butterfly layout per stage, 4x VMEM but plain aligned reads),
+    #: "dedup" (only the l distinct rows -- the reference's
+    #: store_precomputation memory/compute trade for STAGE tables,
+    #: layer/sve/radix-two.hpp:96-138), or "hybrid" (dedup except the
+    #: sub-8-row tail stages).  None = "tiled" (static default).
+    tw_layout: str | None = None
     #: Store the inter-step twiddle matrix WITHOUT its Montgomery companion
     #: array (the multiply recomputes the companion in flight) -- halves the
     #: dominant HBM table read of large six-step levels at the cost of one
@@ -112,6 +119,10 @@ class NttConfig:
                 raise ValueError(f"{name} must be a positive power of two, got {v}")
         if self.max_r is not None and not 1 <= self.max_r <= 4:
             raise ValueError(f"max_r must be in 1..4, got {self.max_r}")
+        if self.tw_layout is not None and self.tw_layout not in (
+            "tiled", "dedup", "hybrid"
+        ):
+            raise ValueError(f"unknown tw_layout {self.tw_layout!r}")
         if self.strategy == "six_step" or (
             self.strategy == "auto" and self.n > self.ITERATIVE_MAX
         ):

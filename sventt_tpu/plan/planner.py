@@ -158,6 +158,7 @@ class PlanTables:
         split_w_only: bool | None = None,
         transpose: str | None = None,
         max_r: int | None = None,
+        tw_layout: str | None = None,
     ):
         self.plan = plan
         self.mod = mod
@@ -166,6 +167,7 @@ class PlanTables:
         # autotunable kernel knobs
         self.knobs = (
             block_b, spc, rows, chunk_elems, split_w_only, transpose, max_r,
+            tw_layout,
         )
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
@@ -189,6 +191,7 @@ class PlanTables:
                 t = ntt_pallas.make_leaf_tables(
                     self.mod, node.m, inverse=self.inverse, modmul=modmul,
                     block_b=block_b, spc=spc, max_r=self.knobs[6],
+                    tw_layout=self.knobs[7] if len(self.knobs) > 7 else None,
                 )
             elif self.inverse:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)

@@ -91,7 +91,7 @@ class NTT:
         knobs = dict(
             block_b=cfg.block_b, spc=cfg.stages_per_call, rows=cfg.lane_rows,
             chunk_elems=cfg.chunk_elems, split_w_only=cfg.split_w_only,
-            transpose=cfg.transpose, max_r=cfg.max_r,
+            transpose=cfg.transpose, max_r=cfg.max_r, tw_layout=cfg.tw_layout,
         )
         if enable_forward:
             self._fwd_tables = planner.PlanTables(

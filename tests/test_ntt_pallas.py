@@ -69,6 +69,44 @@ def test_fused_inverse_matches_golden(rng, m):
         assert [int(v) for v in out[:, c]] == want
 
 
+@pytest.mark.parametrize("tw_layout", ["dedup", "hybrid"])
+@pytest.mark.parametrize("N,g,lazy", MODULI)
+def test_fused_tw_layouts_match_golden(rng, N, g, lazy, tw_layout):
+    """Deduped / hybrid stage-twiddle storage (the reference's
+    store_precomputation trade for STAGE tables, layer/sve/radix-two.hpp:
+    96-138) must be bit-identical to the tiled default, both directions."""
+    mod = Modulus(N, g)
+    fc = FieldConsts.from_modulus(mod, lazy=lazy)
+    m = 64
+    ft = make_fused_forward(mod, m, tw_layout=tw_layout)
+    it = make_fused_inverse(mod, m, tw_layout=tw_layout)
+    golden = GoldenNTT(m, mod)
+    x = rng.integers(0, N, (m, 3), dtype=np.uint64)
+    mid = fused_ntt(u64_from_numpy(x), ft, fc)
+    out = u64_to_numpy(fc.normalize(mid))
+    for c in range(x.shape[1]):
+        want = golden.forward([int(v) for v in x[:, c]])
+        assert [int(v) for v in out[:, c]] == want
+    back = u64_to_numpy(fc.normalize(fused_ntt(mid, it, fc)))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_tw_layout_knob_via_wrapper(rng):
+    """NttConfig(tw_layout=...) reaches the pallas leaf tables and stays
+    bit-identical through the full wrapper path."""
+    from sventt_tpu.plan import NTT, NttConfig
+
+    cfg = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, 1 << 10, engine="pallas",
+        tw_layout="hybrid",
+    )
+    ntt = NTT(cfg)
+    x = rng.integers(0, TEST_MODULUS, cfg.n, dtype=np.uint64)
+    ref = NTT(cfg.with_(tw_layout=None))
+    np.testing.assert_array_equal(ntt.forward_numpy(x), ref.forward_numpy(x))
+    np.testing.assert_array_equal(ntt.inverse_numpy(x), ref.inverse_numpy(x))
+
+
 def test_fused_1d_and_batch_pad(rng):
     """Flat (m,) inputs and non-multiple-of-BLOCK_B batches are padded."""
     mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
