@@ -120,12 +120,21 @@ def main() -> None:
     )
     emit("mont-mul-full", r.ms, n, 30)
 
-    # 7. the whole butterfly (canonical 64-bit path): fold pair back to one
-    def bfly(v, w, p):
-        y0, y1 = fc.butterfly_forward(v, v, w, p)
+    # 7. the whole butterfly (canonical 64-bit path): fold pair back to one.
+    # The second operand must be INDEPENDENT data (x0 == x1 lets XLA fold
+    # x0 - x1 = 0 and collapse the twiddle multiply -- observed 6x too fast).
+    y64 = U64(
+        jax.device_put(jnp.asarray(
+            rng.integers(0, 1 << 32, shape, dtype=np.uint64).astype(np.uint32))),
+        jax.device_put(jnp.asarray(
+            rng.integers(0, 1 << 32, shape, dtype=np.uint64).astype(np.uint32))),
+    )
+
+    def bfly(v, c, w, p):
+        y0, y1 = fc.butterfly_forward(v, c, w, p)
         return U64(y0.hi ^ y1.hi, y0.lo ^ y1.lo)
 
-    r = time_chained(bfly, x64, (w64, wp64), seconds=seconds)
+    r = time_chained(bfly, x64, (y64, w64, wp64), seconds=seconds)
     emit("butterfly-fwd", r.ms, n, 95)
 
 

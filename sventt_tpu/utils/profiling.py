@@ -47,20 +47,28 @@ def phase_breakdown(ntt, seconds: float = 1.0, seed: int = 0) -> dict[str, float
     """
     import numpy as np
 
-    from ..field.limb import u64_from_numpy
+    from ..field.limb import U64
     from ..plan import planner
     from .truetime import time_chained
 
     cfg = ntt.config
     tabs = ntt._fwd_tables
     fc = ntt.fc
-    rng = np.random.default_rng(seed)
 
     def dev(shape):
-        flat = rng.integers(
-            0, cfg.modulus, int(np.prod(shape)), dtype=np.uint64
-        )
-        return jax.device_put(u64_from_numpy(flat.reshape(shape)))
+        # Input generated ON DEVICE (iota < n <= N satisfies the reduced-
+        # input precondition): a host device_put of the full vector is a
+        # 128 MB+ H2D through the tunnel at 2^24 -- the wedge trigger.
+        import jax.numpy as jnp
+
+        total = int(np.prod(shape))
+        assert total < (1 << 32)
+        return jax.jit(
+            lambda: U64(
+                jnp.zeros(shape, jnp.uint32),
+                jnp.arange(total, dtype=jnp.uint32).reshape(shape),
+            )
+        )()
 
     def chain(f, x, *tables):
         return time_chained(f, x, tables, seconds=seconds, reps=1).ms
