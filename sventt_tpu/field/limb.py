@@ -241,6 +241,14 @@ def u64_const_like(value: int, like: U64) -> U64:
 # ---------------------------------------------------------------------------
 
 
+def solinas_capable(N: int) -> bool:
+    """Whether the Solinas direct-reduction engine supports this modulus:
+    high form N = 2^64 - eps with eps = c*2^s - 1 and bit_width(eps) <= 42
+    (three folds converge; see u64_reduce128_sparse_high)."""
+    form, c, s = detect_sparse_modulus(N)
+    return form == "high" and c.bit_length() + s <= 42
+
+
 def detect_sparse_modulus(N: int, max_c_bits: int = 20):
     """(form, c, s) with form 'low' (N = c*2^s + 1), 'high'
     (N = 2^64 - c*2^s + 1) or 'generic'."""
@@ -334,6 +342,74 @@ def u64_mullo_sparse(q: U64, form: str, c: int, s: int) -> U64:
 
 
 # ---------------------------------------------------------------------------
+# Solinas direct reduction: a*w mod N from the raw 128-bit product, for
+# "high"-form sparse moduli N = 2^64 - eps with eps = c*2^s - 1 small
+# (flagship 2^64 - 1827*2^31 + 1: eps < 2^42; Goldilocks 2^64 - 2^32 + 1:
+# eps = 2^32 - 1).  The identity 2^64 === eps (mod N) folds the high
+# word repeatedly: hi*2^64 + lo === hi*eps + lo, and hi*eps =
+# (hi*c << s) - hi is a small-constant multiply chain.  Three folds plus a
+# masked carry fold land in [0, 2^64); one min-subtract yields canonical
+# [0, N) (for these N, r >= N implies r - N < eps, so a single fold
+# suffices from the full u64 range).
+#
+# This is the 64-bit analogue of the Shoup engine (companion-FREE, plain-
+# domain twiddles): where Shoup needs bit_width(N) <= 63 for its [0, 2N)
+# output, Solinas needs sparseness instead -- exactly what the >= 63-bit
+# NTT moduli have.  Reference role: the store_precomputation=false
+# compute-for-bytes trade (reference layer/sve/radix-two.hpp:96-138),
+# realized as an alternative modmul engine rather than a twiddle
+# recurrence.
+# ---------------------------------------------------------------------------
+
+
+def _fold_eps(hi: U64, lo: U64, c: int, s: int):
+    """(hi, lo) -> (hi', lo') with hi'*2^64 + lo' = hi*eps + lo, exact.
+
+    hi*eps = (hi*c << s) - hi with c*2^s - 1 = eps < 2^64, so the 128-bit
+    intermediate (w3, w2, w1, w0) never overflows.
+    """
+    w3, w2, w1, w0 = _mul_small_shift(hi, c, s)
+    t, brw = u64_sub_borrow(U64(w1, w0), hi)
+    u, cry = u64_add_carry(t, lo)
+    top = u64_sub(U64(w3, w2), U64(jnp.zeros_like(brw), brw))
+    top = u64_add(top, U64(jnp.zeros_like(cry), cry))
+    return top, u
+
+
+def u64_reduce128_sparse_high(hi: U64, lo: U64, c: int, s: int) -> U64:
+    """(hi*2^64 + lo) mod N in [0, 2^64) for N = 2^64 - (c*2^s - 1).
+
+    Requires bit_width(eps) = bit_width(c) + s <= 42 so three folds
+    converge (flagship: 42; Goldilocks: 32).  The result is a u64
+    representative; callers wanting canonical [0, N) apply the single
+    min-fold (see FieldConsts.solinas_mul).
+    """
+    # fold 1: H < 2^64 -> H1 < 2^(eps_bits + 1)
+    h1, l1 = _fold_eps(hi, lo, c, s)
+    # fold 2: H1 small -> H2 < 2^(2*eps_bits - 64 + 1)
+    h2, l2 = _fold_eps(h1, l1, c, s)
+    # fold 3: H2 fits one limb; H2*eps < 2^(3*eps_bits - 64) <= 2^62 fits u64
+    h2c = mul32_wide(h2.lo, _U32(c))
+    ls, sb = divmod(s, 32)
+    if ls == 0:
+        y = U64(
+            (h2c.hi << _U32(sb)) | (h2c.lo >> _U32(32 - sb)) if sb else h2c.hi,
+            h2c.lo << _U32(sb) if sb else h2c.lo,
+        )
+    else:  # s in [32, 64): low limb of h2c shifts into the high limb
+        y = U64(h2c.lo << _U32(sb) if sb else h2c.lo, jnp.zeros_like(h2c.lo))
+    y = u64_sub(y, h2)  # h2*eps = (h2*c << s) - h2, no borrow (eps >= 1)
+    r, c3 = u64_add_carry(y, l2)
+    # fold 4: masked + eps on the final carry; cannot re-carry (wrapped
+    # r < eps implies r + eps < 2*eps < 2^64)
+    eps = (c << s) - 1
+    mask = jnp.zeros_like(c3) - c3
+    return u64_add(
+        r, U64(mask & _U32(eps >> 32), mask & _U32(eps & MASK32))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Modulus-bound engine
 # ---------------------------------------------------------------------------
 
@@ -351,11 +427,14 @@ class FieldConsts:
     montgomery_inverse: int  # N^-1 mod 2^64
     lazy: bool  # values in [0, 2N) vs canonical [0, N)
     #: Twiddle-multiply engine: "montgomery" (PAdic64, reference
-    #: modmul/sve/p-adic-64.hpp) or "shoup" (FixedPoint64, reference
-    #: modmul/scalar/fixed-point-64.hpp).  Shoup needs one fewer u64
-    #: multiply per butterfly but requires bit_width(N) <= 62 here (lazy
-    #: range discipline); pointwise data*data products always use
-    #: Montgomery (Shoup needs a precomputed companion).
+    #: modmul/sve/p-adic-64.hpp), "shoup" (FixedPoint64, reference
+    #: modmul/scalar/fixed-point-64.hpp), or "solinas" (companion-free
+    #: direct fold reduction for sparse-high >= 63-bit moduli -- the
+    #: 64-bit analogue of Shoup; twiddles plain-domain, no wp array).
+    #: Shoup needs one fewer u64 multiply per butterfly but requires
+    #: bit_width(N) <= 62 here (lazy range discipline); pointwise
+    #: data*data products always use Montgomery (Shoup needs a
+    #: precomputed companion).
     modmul: str = "montgomery"
     #: Sparse-modulus (Solinas/Proth) multiply chain for products with N:
     #: "low" (N = c*2^s + 1), "high" (N = 2^64 - c*2^s + 1) or "generic".
@@ -381,11 +460,16 @@ class FieldConsts:
             # but loses the XLA VMEM-resident fast path at mid sizes; until
             # the autotuner picks per-config, predictable wins.
             modmul = "montgomery"
-        if modmul not in ("montgomery", "shoup"):
+        if modmul not in ("montgomery", "shoup", "solinas"):
             raise ValueError(f"unknown modmul engine {modmul!r}")
         if modmul == "shoup" and not lazy:
             raise ValueError("shoup engine requires lazy mode (bit_width <= 62)")
         form, c, s = detect_sparse_modulus(mod.modulus)
+        if modmul == "solinas" and not solinas_capable(mod.modulus):
+            raise ValueError(
+                "solinas engine requires a sparse-high modulus "
+                "N = 2^64 - (c*2^s - 1) with bit_width(c*2^s) <= 42"
+            )
         return cls(mod.modulus, mod.montgomery_inverse, lazy, modmul, form, c, s)
 
     def _mulhi_n(self, q: U64) -> U64:
@@ -494,17 +578,35 @@ class FieldConsts:
             return c
         return u64_min(c, u64_sub(c, u64_const_like(self.modulus, c)))
 
+    def solinas_mul(self, a: U64, w: U64) -> U64:
+        """Companion-free direct multiply: a*w mod N, canonical [0, N).
+
+        ``w`` is a PLAIN-domain twiddle (no Montgomery factor, no
+        companion array): the full 128-bit product is folded down via
+        2^64 === eps (mod N) for sparse-high N (u64_reduce128_sparse_high),
+        then one min-subtract canonicalizes -- for these N, r >= N implies
+        r - N < eps, so a single fold covers the whole u64 range.  Accepts
+        any ``a`` < 2^64.  The 64-bit analogue of shoup_mul (which needs
+        bit_width(N) <= 63); requires FieldConsts.n_form == "high".
+        """
+        hi, lo = u64_mul_wide(a, w)
+        r = u64_reduce128_sparse_high(hi, lo, self.n_c, self.n_s)
+        return u64_min(r, u64_sub(r, u64_const_like(self.modulus, r)))
+
     # -- butterflies -------------------------------------------------------------
 
-    def twiddle_mul(self, a: U64, w: U64, wp: U64) -> U64:
+    def twiddle_mul(self, a: U64, w: U64, wp: U64 | None) -> U64:
         """Multiply by a prepared twiddle pair, via the configured engine.
 
         Montgomery: ``w`` in Montgomery form, ``wp = w * N^-1 mod 2^64``.
         Shoup: ``w`` plain canonical, ``wp = floor(w * 2^64 / N)``.
+        Solinas: ``w`` plain canonical, no companion (``wp`` ignored).
         Table builders (ops/twiddle.py) prepare the matching companion.
         """
         if self.modmul == "shoup":
             return self.shoup_mul(a, w, wp)
+        if self.modmul == "solinas":
+            return self.solinas_mul(a, w)
         return self.mont_mul(a, w, wp)
 
     def butterfly_forward(self, x0: U64, x1: U64, w: U64, wp: U64) -> tuple[U64, U64]:

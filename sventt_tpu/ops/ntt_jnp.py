@@ -50,9 +50,11 @@ def _stage_join(y0: U64, y1: U64, m: int):
 
 
 def _bcast_tw(pair: MontPair, l: int, ndim_batch: int) -> MontPair:
-    """Reshape a length-l twiddle vector to broadcast as (1, l, *1s)."""
+    """Reshape a length-l twiddle vector to broadcast as (1, l, *1s).
+    ``wp`` may be None (companion-free solinas tables)."""
     shape = (1, l) + (1,) * ndim_batch
-    return MontPair(_u64_bcast(pair.w, shape), _u64_bcast(pair.wp, shape))
+    wp = None if pair.wp is None else _u64_bcast(pair.wp, shape)
+    return MontPair(_u64_bcast(pair.w, shape), wp)
 
 
 def ntt_forward(x: U64, tables: ForwardTables, fc: FieldConsts) -> U64:
@@ -129,7 +131,8 @@ def _mid_join(y0: U64, y1: U64, m: int):
 
 def _mid_tw(pair: MontPair, l: int, ndim_batch: int) -> MontPair:
     shape = (1, 1, l) + (1,) * ndim_batch
-    return MontPair(_u64_bcast(pair.w, shape), _u64_bcast(pair.wp, shape))
+    wp = None if pair.wp is None else _u64_bcast(pair.wp, shape)
+    return MontPair(_u64_bcast(pair.w, shape), wp)
 
 
 def ntt_forward_mid(x: U64, tables: ForwardTables, fc: FieldConsts) -> U64:

@@ -92,6 +92,11 @@ def _twiddle_pair(mod: Modulus, values_plain: list[int], modmul: str) -> MontPai
     if modmul == "montgomery":
         return _mont_pair(mod, values_plain)
     w = np.array([v % mod.modulus for v in values_plain], dtype=np.uint64)
+    if modmul == "solinas":
+        # Companion-FREE plain-domain twiddles: the direct fold reduction
+        # needs no precompute (FieldConsts.solinas_mul) -- half the stage
+        # table bytes of the companioned engines.
+        return MontPair(u64_from_numpy(w), None)
     wp = np.array(
         [mod.shoup_precompute(int(v)) for v in w], dtype=np.uint64
     )

@@ -314,6 +314,12 @@ def _modmul_candidates(config: NttConfig) -> list[str]:
     out = ["montgomery"]
     if _lazy_capable(config):
         out.append("shoup")
+    from ..field.limb import solinas_capable
+
+    if solinas_capable(config.modulus):
+        # companion-free direct reduction for sparse-high >= 63-bit moduli
+        # (jnp engine only; the pairing is filtered in the search loop)
+        out.append("solinas")
     return out
 
 
@@ -391,6 +397,8 @@ def search(
     best, best_ms = None, float("inf")
     for eng in _engine_candidates(base):
         for mm in _modmul_candidates(base):
+            if mm == "solinas" and eng == "pallas":
+                continue  # solinas is jnp-only (config.py validation)
             cand = base.with_(engine=eng, modmul=mm)
             ms = timed(cand, f"{eng}/{mm}")
             if ms < best_ms:

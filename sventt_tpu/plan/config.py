@@ -109,8 +109,21 @@ class NttConfig:
             raise ValueError(f"unknown strategy {self.strategy!r}")
         if self.engine not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown engine {self.engine!r}")
-        if self.modmul not in ("auto", "montgomery", "shoup"):
+        if self.modmul not in ("auto", "montgomery", "shoup", "solinas"):
             raise ValueError(f"unknown modmul engine {self.modmul!r}")
+        if self.modmul == "solinas":
+            from ..field.limb import solinas_capable
+
+            if not solinas_capable(self.modulus):
+                raise ValueError(
+                    "solinas modmul requires a sparse-high modulus "
+                    "N = 2^64 - (c*2^s - 1), bit_width(c*2^s) <= 42"
+                )
+            if self.engine == "pallas":
+                raise ValueError(
+                    "solinas modmul currently supports the jnp engine only "
+                    "(pallas stage tables carry companion arrays)"
+                )
         if self.transpose not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown transpose strategy {self.transpose!r}")
         for name in ("block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems"):

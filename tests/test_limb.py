@@ -251,6 +251,96 @@ def test_sparse_mul_chains_exact(rng, N):
         assert int(l) == p & ((1 << 64) - 1)
 
 
+@pytest.mark.parametrize("N", [FLAGSHIP_MODULUS, GOLDILOCKS_MODULUS])
+def test_solinas_reduce128_exact(rng, N):
+    """u64_reduce128_sparse_high == exact (hi*2^64 + lo) mod N over random
+    and corner 128-bit values (must hold on the FULL u64 x u64 range)."""
+    from sventt_tpu.field.limb import (
+        detect_sparse_modulus,
+        u64_reduce128_sparse_high,
+    )
+
+    form, c, s = detect_sparse_modulus(N)
+    assert form == "high"
+    corner = np.array(
+        [0, 1, 2, 0xFFFF_FFFF, 1 << 32, M64, M64 - 1, N - 1, N,
+         (2 * N) % (1 << 64), 1 << 63],
+        dtype=np.uint64,
+    )
+    his = np.concatenate([corner, rng.integers(0, 1 << 64, 512, dtype=np.uint64)])
+    los = np.concatenate([corner[::-1], rng.integers(0, 1 << 64, 512, dtype=np.uint64)])
+    got = u64_to_numpy(
+        jax.jit(lambda h, l: u64_reduce128_sparse_high(h, l, c, s))(
+            u64_from_numpy(his), u64_from_numpy(los)
+        )
+    )
+    for h, l, g in zip(his, los, got):
+        v = (int(h) << 64) | int(l)
+        assert int(g) % N == v % N, (hex(int(h)), hex(int(l)))
+
+
+@pytest.mark.parametrize("N,g", [(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR),
+                                 (GOLDILOCKS_MODULUS, 7)])
+def test_solinas_mul(rng, N, g):
+    """solinas_mul(a, w): canonical [0, N) a*w mod N for ANY a < 2^64 and
+    plain twiddle w < N -- the companion-free 64-bit engine."""
+    mod = Modulus(N, g)
+    fc = FieldConsts.from_modulus(mod, modmul="solinas")
+    a = np.concatenate([
+        np.array([0, 1, N - 1, N, M64, 1 << 63], dtype=np.uint64),
+        rng.integers(0, 1 << 64, 512, dtype=np.uint64),
+    ])
+    w = np.array(
+        [int(x) % N for x in rng.integers(0, 1 << 63, size=a.size)], np.uint64
+    )
+    got = u64_to_numpy(
+        jax.jit(fc.solinas_mul)(u64_from_numpy(a), u64_from_numpy(w))
+    )
+    assert (got < N).all()  # canonical output
+    for x, y, r in zip(a, w, got):
+        assert int(r) == int(x) * int(y) % N
+
+
+def test_solinas_rejected_for_nonsparse():
+    from sventt_tpu.field.limb import solinas_capable
+
+    assert solinas_capable(FLAGSHIP_MODULUS)
+    assert solinas_capable(GOLDILOCKS_MODULUS)
+    assert not solinas_capable(TEST_MODULUS)  # low form
+    with pytest.raises(ValueError):
+        FieldConsts.from_modulus(
+            Modulus(TEST_MODULUS, TEST_GENERATOR), modmul="solinas"
+        )
+
+
+@pytest.mark.parametrize("N,g", [(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR),
+                                 (GOLDILOCKS_MODULUS, 7)])
+def test_solinas_butterflies(rng, N, g):
+    """butterfly_forward / inverse / inverse_scaled under the solinas
+    engine: plain twiddles, wp=None, residues must match Python ints."""
+    mod = Modulus(N, g)
+    fc = FieldConsts.from_modulus(mod, modmul="solinas")
+    a = rng.integers(0, N, size=256, dtype=np.uint64)
+    b = rng.integers(0, N, size=256, dtype=np.uint64)
+    w = np.array([int(x) % N for x in rng.integers(0, 1 << 63, 256)], np.uint64)
+    au, bu, wu = u64_from_numpy(a), u64_from_numpy(b), u64_from_numpy(w)
+    y0, y1 = jax.jit(lambda x0, x1, w: fc.butterfly_forward(x0, x1, w, None))(
+        au, bu, wu
+    )
+    y0, y1 = u64_to_numpy(fc.normalize(y0)), u64_to_numpy(fc.normalize(y1))
+    for x0, x1, tw, g0, g1 in zip(a, b, w, y0, y1):
+        assert int(g0) % N == (int(x0) + int(x1)) % N
+        assert int(g1) % N == (int(x0) - int(x1)) * int(tw) % N
+    z0, z1 = jax.jit(lambda x0, x1, w: fc.butterfly_inverse(x0, x1, w, None))(
+        au, bu, wu
+    )
+    z0, z1 = u64_to_numpy(fc.normalize(z0)), u64_to_numpy(fc.normalize(z1))
+    for x0, x1, tw, g0, g1 in zip(a, b, w, z0, z1):
+        t = int(x1) * int(tw) % N
+        assert int(g0) % N == (int(x0) + t) % N
+        assert int(g1) % N == (int(x0) - t) % N
+
+
 def test_generic_modulus_field_ops(rng):
     """A dense (non-sparse) prime keeps the generic multiply path working."""
     from sventt_tpu.field.modulus import find_generator, is_probable_prime

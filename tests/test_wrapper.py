@@ -146,6 +146,44 @@ def test_shoup_requires_small_modulus():
         NTT(NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 64, modmul="shoup"))
 
 
+def test_solinas_engine_matches_golden(rng):
+    """Companion-free Solinas engine on the 64-bit flagship modulus (the
+    Shoup analogue for sparse-high moduli where Shoup is impossible):
+    bit-compatible mod N, both directions, iterative AND six-step."""
+    from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
+
+    cfg = NttConfig(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 512, modmul="solinas")
+    ntt = NTT(cfg)
+    N = cfg.modulus
+    x = rng.integers(0, N, size=512, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    golden = GoldenNTT(512, cfg.mod)
+    assert [int(v) for v in fwd] == golden.forward([int(v) for v in x])
+    assert (ntt.inverse_numpy(fwd) == x).all()
+    # six-step composition (split twiddles stay Montgomery; stage twiddles
+    # are companion-free plain values)
+    cfg6 = NttConfig(
+        FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 1 << 15, modmul="solinas"
+    )
+    ntt6 = NTT(cfg6)
+    x6 = rng.integers(0, N, size=cfg6.n, dtype=np.uint64)
+    ref = NTT(cfg6.with_(modmul="montgomery"))
+    np.testing.assert_array_equal(ntt6.forward_numpy(x6), ref.forward_numpy(x6))
+    assert (ntt6.inverse_numpy(ntt6.forward_numpy(x6)) == x6).all()
+
+
+def test_solinas_requires_sparse_high():
+    with pytest.raises(ValueError):
+        NttConfig(TEST_MODULUS, TEST_GENERATOR, 64, modmul="solinas")
+    from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
+
+    with pytest.raises(ValueError):
+        NttConfig(
+            FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 64,
+            modmul="solinas", engine="pallas",
+        )
+
+
 def test_describe_shows_execution_paths():
     cfg = NttConfig(TEST_MODULUS, TEST_GENERATOR, 1 << 17, engine="pallas")
     d = NTT(cfg, enable_inverse=False).describe()
