@@ -199,6 +199,23 @@ def sixstep_row_twiddles_inverse(mod: Modulus, n0: int, n1: int) -> MontPair:
     return MontPair(u64_from_numpy(wm), u64_from_numpy(wp))
 
 
+def sixstep_row_twiddles_plain(
+    mod: Modulus, n0: int, n1: int, *, inverse: bool = False
+) -> MontPair:
+    """Host-built inter-step twiddles in PLAIN canonical form, companion-
+    free -- the solinas-engine counterpart of sixstep_row_twiddles[_inverse]."""
+    from ..field.golden import bitreverse_permutation
+
+    N = mod.modulus
+    omega = mod.get_root_forward(n0 * n1)
+    if inverse:
+        omega = mod.invert(omega)
+    perm = bitreverse_permutation(n0)
+    flat = [v for p0 in range(n0) for v in _powers(pow(omega, perm[p0], N), n1, N)]
+    w = np.array(flat, dtype=np.uint64).reshape(n0, n1)
+    return MontPair(u64_from_numpy(w), None)
+
+
 def montgomery_scalar(mod: Modulus, value: int) -> MontPair:
     """A single field constant as a broadcastable Montgomery (w, wp) pair."""
     return _mont_pair(mod, [value % mod.modulus])
@@ -213,19 +230,23 @@ def _mont_precompute_device(w: U64, mod: Modulus) -> U64:
 
 def sixstep_row_twiddles_device(
     mod: Modulus, n0: int, n1: int, *, inverse: bool = False,
-    with_companion: bool = True,
+    with_companion: bool = True, modmul: str = "montgomery",
 ) -> "MontPair":
     """Device-built inter-step twiddle matrix for large transforms.
 
     Same values as ``sixstep_row_twiddles[_inverse]`` but the n0 x n1 matrix
     is generated on-device: the host computes only the n0 per-row bases
-    ``omega_n^(+-bitrev(p0))`` (Montgomery form), then a ``lax.scan`` over the
-    n1 columns carries a running Montgomery product -- the TPU analogue of the
-    reference's on-the-fly omega^(j*cntd) recurrence
+    ``omega_n^(+-bitrev(p0))``, then a ``lax.scan`` over the n1 columns
+    carries a running product -- the TPU analogue of the reference's
+    on-the-fly omega^(j*cntd) recurrence
     (reference layer/sve/generic.hpp:183-267).  O(n0) host work instead of
     O(n0*n1); required for n >= ~2^22 where host Python-int tables are too
     slow.  Results are canonical mod N (normalized), so they match the host
     tables bit-for-bit.
+
+    ``modmul="montgomery"``: Montgomery-form values (+ optional companion).
+    ``modmul="solinas"``: PLAIN canonical values, always companion-free
+    (the solinas engine multiplies directly).
     """
     import jax
     import jax.numpy as jnp
@@ -239,26 +260,37 @@ def sixstep_row_twiddles_device(
     if inverse:
         omega = mod.invert(omega)
     perm = bitreverse_permutation(n0)
-    # Host: n0 Montgomery-form bases (cheap); device: the n1-column recurrence.
-    bases = np.array(
-        [mod.to_montgomery(pow(omega, p, N)) for p in perm], dtype=np.uint64
-    )
+    fc = FieldConsts.from_modulus(mod, lazy=False, modmul=modmul)
+    if modmul == "solinas":
+        bases = np.array([pow(omega, p, N) for p in perm], dtype=np.uint64)
+        ones = np.ones(n0, dtype=np.uint64)
+        mul = fc.solinas_mul
+    else:
+        # Host: n0 Montgomery-form bases (cheap); device: the recurrence.
+        bases = np.array(
+            [mod.to_montgomery(pow(omega, p, N)) for p in perm], dtype=np.uint64
+        )
+        ones = np.full(n0, mod.montgomery_r, dtype=np.uint64)
+        mul = fc.mont_mul_full
     base = u64_from_numpy(bases)
-    one = u64_from_numpy(np.full(n0, mod.montgomery_r, dtype=np.uint64))
-    fc = FieldConsts.from_modulus(mod, lazy=False)
+    one = u64_from_numpy(ones)
 
     @jax.jit
     def build(one: U64, base: U64) -> MontPair:
         def step(carry: U64, _):
-            # carry is Montgomery-form omega^(bitrev(p0)*j); emit it, advance.
-            return fc.mont_mul_full(carry, base), carry
+            # carry is omega^(bitrev(p0)*j) in engine form; emit, advance.
+            return mul(carry, base), carry
 
         _, cols = jax.lax.scan(step, one, None, length=n1)
-        # cols: (n1, n0) Montgomery twiddles; transpose to (n0, n1).
+        # cols: (n1, n0) twiddles; transpose to (n0, n1).
         w = U64(jnp.transpose(cols.hi), jnp.transpose(cols.lo))
         # with_companion=False halves twiddle memory for huge n: the
         # Montgomery companion is recomputed per multiply (mont_mul_full).
-        wp = _mont_precompute_device(w, mod) if with_companion else None
+        wp = (
+            _mont_precompute_device(w, mod)
+            if with_companion and modmul == "montgomery"
+            else None
+        )
         return MontPair(w, wp)
 
     return build(one, base)

@@ -67,21 +67,28 @@ JNP_RESIDENT_ELEMS = 1 << 21
 
 def row_twiddles(
     mod: Modulus, n0: int, n1: int, *, inverse: bool,
-    w_only: bool | None = None,
+    w_only: bool | None = None, modmul: str = "montgomery",
 ) -> MontPair:
     """Inter-step twiddle matrix for one Split level.
 
     ``w_only`` drops the Montgomery companion array (the multiply recomputes
     it in flight) -- halves this level's table read; None applies the
     size heuristic W_ONLY_THRESHOLD.  Autotunable via
-    ``NttConfig.split_w_only``.
+    ``NttConfig.split_w_only``.  ``modmul="solinas"`` builds PLAIN
+    canonical values, always companion-free (multiplied by
+    FieldConsts.solinas_mul in _mont_mul_bcast).
     """
     if w_only is None:
         w_only = n0 * n1 >= W_ONLY_THRESHOLD
     if n0 * n1 > DEVICE_TWIDDLE_THRESHOLD:
         return sixstep_row_twiddles_device(
             mod, n0, n1, inverse=inverse, with_companion=not w_only,
+            modmul=modmul,
         )
+    if modmul == "solinas":
+        from ..ops.twiddle import sixstep_row_twiddles_plain
+
+        return sixstep_row_twiddles_plain(mod, n0, n1, inverse=inverse)
     tw = (
         sixstep_row_twiddles_inverse(mod, n0, n1)
         if inverse
@@ -203,7 +210,7 @@ class PlanTables:
             if key not in self.split_tw:
                 self.split_tw[key] = row_twiddles(
                     self.mod, node.m0, node.m1, inverse=self.inverse,
-                    w_only=self.knobs[4],
+                    w_only=self.knobs[4], modmul=self.fc.modmul,
                 )
             if _lane_row(node) and node.m1 not in self.lane:
                 self.lane[node.m1] = ntt_pallas.make_lane_tables(
@@ -258,11 +265,15 @@ def _transpose01(x: U64, strategy: str | None = None) -> U64:
 def _mont_mul_bcast(fc: FieldConsts, x: U64, tw: MontPair, nb: int) -> U64:
     """Multiply (m0, m1, batch...) data by an (m0, m1) twiddle matrix.
 
-    Twiddles are Montgomery-form; when the companion array was dropped
-    (W_ONLY_THRESHOLD) the multiply recomputes it on the fly.
+    Montgomery engines: Montgomery-form twiddles; when the companion array
+    was dropped (W_ONLY_THRESHOLD) the multiply recomputes it on the fly.
+    Solinas engine: PLAIN twiddles, direct fold reduction (always
+    companion-free).
     """
     shape = tw.w.lo.shape + (1,) * nb
     w = U64(tw.w.hi.reshape(shape), tw.w.lo.reshape(shape))
+    if fc.modmul == "solinas":
+        return fc.solinas_mul(x, w)
     if tw.wp is None:
         return fc.mont_mul_full(x, w)
     wp = U64(tw.wp.hi.reshape(shape), tw.wp.lo.reshape(shape))

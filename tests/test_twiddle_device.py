@@ -56,6 +56,39 @@ def test_device_builder_companion_free(modulus, generator):
     assert (u64_to_numpy(dev.w) == u64_to_numpy(host.w)).all()
 
 
+@pytest.mark.parametrize("inverse", [False, True])
+def test_device_builder_solinas_plain(inverse):
+    """Solinas-mode device builder: PLAIN canonical values matching the
+    host plain tables bit-for-bit, always companion-free."""
+    from sventt_tpu.ops.twiddle import sixstep_row_twiddles_plain
+
+    mod = Modulus(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR)
+    n0, n1 = 16, 32
+    host = sixstep_row_twiddles_plain(mod, n0, n1, inverse=inverse)
+    dev = sixstep_row_twiddles_device(
+        mod, n0, n1, inverse=inverse, modmul="solinas"
+    )
+    assert dev.wp is None and host.wp is None
+    assert (u64_to_numpy(dev.w) == u64_to_numpy(host.w)).all()
+
+
+def test_wrapper_solinas_device_twiddles(rng, monkeypatch):
+    """Full wrapper path with the solinas engine forced onto the device
+    twiddle builder (thresholds lowered): bit-exact vs golden + roundtrip."""
+    monkeypatch.setattr(planner, "DEVICE_TWIDDLE_THRESHOLD", 1 << 6)
+    cfg = NttConfig(
+        FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 1 << 10, modmul="solinas",
+        strategy="six_step",
+    )
+    ntt = NTT(cfg)
+    assert ntt._fwd_tables.split_tw[cfg.split].wp is None
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    golden = GoldenNTT(cfg.n, cfg.mod)
+    assert [int(v) for v in fwd] == golden.forward([int(v) for v in x])
+    assert (ntt.inverse_numpy(fwd) == x).all()
+
+
 @pytest.mark.parametrize("modulus,generator", MODULI)
 def test_wrapper_on_device_twiddles_wp_none(modulus, generator, rng, monkeypatch):
     """Full transform through the device-built, companion-free table path
