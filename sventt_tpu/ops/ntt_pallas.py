@@ -87,12 +87,16 @@ class FusedDirection:
     scale: tuple[jnp.ndarray, ...]
     block_b: int = BLOCK_B
     spc: int = MAX_STAGES_PER_CALL
+    #: uint32 arrays per stage: 4 = (w_hi, w_lo, wp_hi, wp_lo) for the
+    #: companioned engines; 2 = (w_hi, w_lo) for the companion-free
+    #: solinas engine (plain twiddles, half the table bytes).
+    aps: int = 4
 
 
 jax.tree_util.register_dataclass(
     FusedDirection,
     data_fields=["tw", "scale"],
-    meta_fields=["m", "inverse", "stage_ls", "block_b", "spc"],
+    meta_fields=["m", "inverse", "stage_ls", "block_b", "spc", "aps"],
 )
 
 
@@ -125,8 +129,11 @@ def _stage_tiled(l: int, m: int, tw_layout: str) -> bool:
 def _expand_pair(
     pair, m: int, l: int, block_b: int, tiled: bool = False
 ) -> tuple[jnp.ndarray, ...]:
+    arrs = (pair.w.hi, pair.w.lo)
+    if pair.wp is not None:
+        arrs += (pair.wp.hi, pair.wp.lo)
     out = []
-    for a in (pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo):
+    for a in arrs:
         e = np.asarray(a)
         rows = l
         if tiled:  # butterfly layout W[b*l + j] = w_stage[j]
@@ -154,7 +161,8 @@ def make_fused_forward(
         ls.append(l)
         tw.append(_expand_pair(pair, m, l, block_b, _stage_tiled(l, m, tw_layout)))
     return FusedDirection(
-        m, False, tuple(ls), tuple(tw), (), block_b, spc or MAX_STAGES_PER_CALL
+        m, False, tuple(ls), tuple(tw), (), block_b,
+        spc or MAX_STAGES_PER_CALL, aps=2 if modmul == "solinas" else 4,
     )
 
 
@@ -174,18 +182,16 @@ def make_fused_inverse(
         l = 1 << s
         ls.append(l)
         tw.append(_expand_pair(pair, m, l, block_b, _stage_tiled(l, m, tw_layout)))
+    sc_arrs = (tabs.scale.w.hi, tabs.scale.w.lo)
+    if tabs.scale.wp is not None:
+        sc_arrs += (tabs.scale.wp.hi, tabs.scale.wp.lo)
     sc = []
-    for a in (
-        tabs.scale.w.hi,
-        tabs.scale.w.lo,
-        tabs.scale.wp.hi,
-        tabs.scale.wp.lo,
-    ):
+    for a in sc_arrs:
         v = np.full((m // 2, block_b), np.asarray(a)[0], dtype=np.uint32)
         sc.append(jnp.asarray(v))
     return FusedDirection(
         m, True, tuple(ls), tuple(tw), tuple(sc), block_b,
-        spc or MAX_STAGES_PER_CALL,
+        spc or MAX_STAGES_PER_CALL, aps=2 if modmul == "solinas" else 4,
     )
 
 
@@ -209,18 +215,19 @@ class _Axis1View:
 
 def _make_group_kernel(
     fc: FieldConsts, m: int, stage_ls, inverse: bool, with_scale: bool,
-    mid: bool = False,
+    mid: bool = False, aps: int = 4,
 ):
     """Kernel running a group of stages with ping-pong through scratch.
 
-    Argument order: xh, xl, 4 per stage [, 4 scale], oh, ol, scratch_h,
-    scratch_l.  With ``mid=True`` the data refs are (1, m, lanes) blocks of
-    a 3D array (transform along the middle axis) wrapped in _Axis1View.
+    Argument order: xh, xl, ``aps`` per stage [, ``aps`` scale], oh, ol,
+    scratch_h, scratch_l (aps = 4 companioned / 2 solinas).  With
+    ``mid=True`` the data refs are (1, m, lanes) blocks of a 3D array
+    (transform along the middle axis) wrapped in _Axis1View.
     """
     n = len(stage_ls)
 
     def kernel(xh_ref, xl_ref, *rest):
-        ntw = 4 * n + (4 if with_scale else 0)
+        ntw = aps * n + (aps if with_scale else 0)
         tw_refs = rest[:ntw]
         oh, ol, ah, al = rest[ntw], rest[ntw + 1], rest[ntw + 2], rest[ntw + 3]
         if mid:
@@ -236,10 +243,10 @@ def _make_group_kernel(
             dst = (ah, al) if i % 2 == 0 else (oh, ol)
             if i == n - 1:
                 dst = (oh, ol)
-            tw = tw_refs[4 * i : 4 * i + 4]
+            tw = tw_refs[aps * i : aps * i + aps]
             scale = None
             if with_scale and i == n - 1:
-                scale = tw_refs[4 * n : 4 * n + 4]
+                scale = tw_refs[aps * n : aps * n + aps]
             _stage_one(fc, m, l, src, tw, dst, inverse, scale)
 
     return kernel
@@ -248,7 +255,11 @@ def _make_group_kernel(
 def _stage_one(fc, m, l, src, tw, dst, inverse, scale):
     sh, sl = src
     dh, dl = dst
-    wh, wl, ph, pll = tw
+    if len(tw) == 4:
+        wh, wl, ph, pll = tw
+    else:  # companion-free solinas stage tables
+        wh, wl = tw
+        ph = pll = None
     # Table layout is read off the ref shape: l rows = deduplicated (every
     # block reads the same l distinct twiddles), m/2 rows = tiled butterfly
     # layout (block b reads rows [b*l, (b+1)*l)).  Both are supported so
@@ -261,12 +272,16 @@ def _stage_one(fc, m, l, src, tw, dst, inverse, scale):
         x0 = U64(sh[r0 : r0 + l], sl[r0 : r0 + l])
         x1 = U64(sh[r1 : r1 + l], sl[r1 : r1 + l])
         w = U64(wh[t0:t1], wl[t0:t1])
-        wp = U64(ph[t0:t1], pll[t0:t1])
+        wp = None if ph is None else U64(ph[t0:t1], pll[t0:t1])
         if scale is not None:
             s0, s1 = b * l, (b + 1) * l
-            sch, scl, sph, spl = scale
+            if len(scale) == 4:
+                sch, scl, sph, spl = scale
+                scp = U64(sph[s0:s1], spl[s0:s1])
+            else:
+                sch, scl = scale
+                scp = None
             sc = U64(sch[s0:s1], scl[s0:s1])
-            scp = U64(sph[s0:s1], spl[s0:s1])
             y0, y1 = fc.butterfly_inverse_scaled(x0, x1, sc, scp, w, wp)
         elif inverse:
             y0, y1 = fc.butterfly_inverse(x0, x1, w, wp)
@@ -527,6 +542,8 @@ def make_leaf_tables(
     if max_r is None:
         max_r = DEFAULT_MAX_RADIX
     tw_layout = tw_layout or "tiled"
+    if modmul == "solinas":
+        max_r = 1  # grouped bodies carry companioned const/table pairs
     if max_r > 1:
         if inverse:
             return make_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
@@ -548,6 +565,8 @@ def make_lane_tables(
     autotunable batch-rows block height."""
     if max_r is None:
         max_r = DEFAULT_MAX_RADIX
+    if modmul == "solinas":
+        max_r = 1  # grouped bodies carry companioned const/table pairs
     if max_r > 1:
         if inverse:
             return make_lane_grouped_inverse(mod, m, modmul=modmul, max_r=max_r)
@@ -746,10 +765,14 @@ jax.tree_util.register_pytree_node(
 
 
 def _lane_vec(pair, m: int, l: int, rows: int) -> np.ndarray:
-    """(4, rows, m) lane-vector table for one stage."""
+    """(4 or 2, rows, m) lane-vector table for one stage (2 channels for
+    companion-free solinas tables)."""
     idx = np.arange(m) % l
-    out = np.zeros((4, rows, m), dtype=np.uint32)
-    for c, arr in enumerate((pair.w.hi, pair.w.lo, pair.wp.hi, pair.wp.lo)):
+    arrs = (pair.w.hi, pair.w.lo)
+    if pair.wp is not None:
+        arrs += (pair.wp.hi, pair.wp.lo)
+    out = np.zeros((len(arrs), rows, m), dtype=np.uint32)
+    for c, arr in enumerate(arrs):
         out[c, :, :] = np.asarray(arr)[idx][None, :]
     return out
 
@@ -783,9 +806,13 @@ def make_lane_inverse(
         tw.append(_lane_vec(pair, m, l, rows))
     s_hi = int(np.asarray(tabs.scale.w.hi)[0])
     s_lo = int(np.asarray(tabs.scale.w.lo)[0])
-    sp_hi = int(np.asarray(tabs.scale.wp.hi)[0])
-    sp_lo = int(np.asarray(tabs.scale.wp.lo)[0])
-    scale = ((s_hi << 32) | s_lo, (sp_hi << 32) | sp_lo)
+    if tabs.scale.wp is None:  # companion-free solinas scale
+        sp = None
+    else:
+        sp_hi = int(np.asarray(tabs.scale.wp.hi)[0])
+        sp_lo = int(np.asarray(tabs.scale.wp.lo)[0])
+        sp = (sp_hi << 32) | sp_lo
+    scale = ((s_hi << 32) | s_lo, sp)
     return LaneDirection(m, True, tuple(ls), jnp.asarray(np.stack(tw)), scale, rows)
 
 
@@ -805,9 +832,12 @@ def _lane_kernel(
     def kernel(xh_ref, xl_ref, *refs):
         tw_ref = refs[pre_tw]
         oh_ref, ol_ref = refs[pre_tw + 1], refs[pre_tw + 2]
+        companioned = tw_ref.shape[1] == 4  # vs 2-channel solinas tables
 
         def apply_pre(v):
             w = U64(refs[0][:], refs[1][:])
+            if fc.modmul == "solinas":
+                return fc.solinas_mul(v, w)  # plain companion-free tables
             if pre_tw == 4:
                 return fc.mont_mul(v, w, U64(refs[2][:], refs[3][:]))
             return fc.mont_mul_full(v, w)
@@ -827,7 +857,7 @@ def _lane_kernel(
                 )
 
             w = U64(tw_ref[s, 0], tw_ref[s, 1])
-            wp = U64(tw_ref[s, 2], tw_ref[s, 3])
+            wp = U64(tw_ref[s, 2], tw_ref[s, 3]) if companioned else None
             if not inverse:
                 p = U64(partner(v.hi), partner(v.lo))
                 ssum = fc.add(v, p)
@@ -836,7 +866,11 @@ def _lane_kernel(
                 v = u64_select(bit, dm, ssum)
             elif scale_scalar is not None and s == n - 1:
                 sc = u64_const_like(scale_scalar[0], v)
-                scp = u64_const_like(scale_scalar[1], v)
+                scp = (
+                    None
+                    if scale_scalar[1] is None
+                    else u64_const_like(scale_scalar[1], v)
+                )
                 a = fc.twiddle_mul(v, sc, scp)  # s * x everywhere
                 b = fc.twiddle_mul(v, w, wp)  # (s*w_j) * x everywhere
                 pa = U64(partner(a.hi), partner(a.lo))
@@ -865,11 +899,12 @@ def _lane_call(
     @jax.jit
     def call(xh, xl, *rest):
         b = xh.shape[0]
+        ch = rest[-1].shape[1]  # 4 companioned / 2 solinas channels
         x_spec = pl.BlockSpec(
             (rows, m), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         tw_spec = pl.BlockSpec(
-            (n_stages, 4, rows, m),
+            (n_stages, ch, rows, m),
             lambda i: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -1101,10 +1136,10 @@ def _lane_grouped_call(
 @functools.lru_cache(maxsize=None)
 def _group_call(
     fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool,
-    block_b: int = BLOCK_B,
+    block_b: int = BLOCK_B, aps: int = 4,
 ):
     """Build the jitted pallas_call for one stage group (cached per config)."""
-    kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale)
+    kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale, aps=aps)
 
     @jax.jit
     def call(xh, xl, *tw_flat):
@@ -1132,11 +1167,13 @@ def _group_call(
 @functools.lru_cache(maxsize=None)
 def _mid_call(
     fc: FieldConsts, m: int, stage_ls: tuple, inverse: bool, with_scale: bool,
-    block_b: int = BLOCK_B,
+    block_b: int = BLOCK_B, aps: int = 4,
 ):
     """Jitted pallas_call for one stage group along the MIDDLE axis of a
     (A, m, B) array, gridded over (A, B / block_b)."""
-    kernel = _make_group_kernel(fc, m, stage_ls, inverse, with_scale, mid=True)
+    kernel = _make_group_kernel(
+        fc, m, stage_ls, inverse, with_scale, mid=True, aps=aps
+    )
 
     @jax.jit
     def call(xh, xl, *tw_flat):
@@ -1196,7 +1233,8 @@ def fused_ntt_mid(x: U64, tables: FusedDirection, fc: FieldConsts) -> U64:
         if with_scale:
             tw_flat += list(tables.scale)
         call = _mid_call(
-            fc, m, stage_ls, tables.inverse, with_scale, tables.block_b
+            fc, m, stage_ls, tables.inverse, with_scale, tables.block_b,
+            tables.aps,
         )
         xh, xl = call(xh, xl, *tw_flat)
 
@@ -1244,7 +1282,8 @@ def fused_ntt(x: U64, tables, fc: FieldConsts) -> U64:
         if with_scale:
             tw_flat += list(tables.scale)
         call = _group_call(
-            fc, m, stage_ls, tables.inverse, with_scale, tables.block_b
+            fc, m, stage_ls, tables.inverse, with_scale, tables.block_b,
+            tables.aps,
         )
         xh, xl = call(xh, xl, *tw_flat)
 

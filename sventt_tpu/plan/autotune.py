@@ -318,7 +318,6 @@ def _modmul_candidates(config: NttConfig) -> list[str]:
 
     if solinas_capable(config.modulus):
         # companion-free direct reduction for sparse-high >= 63-bit moduli
-        # (jnp engine only; the pairing is filtered in the search loop)
         out.append("solinas")
     return out
 
@@ -397,8 +396,6 @@ def search(
     best, best_ms = None, float("inf")
     for eng in _engine_candidates(base):
         for mm in _modmul_candidates(base):
-            if mm == "solinas" and eng == "pallas":
-                continue  # solinas is jnp-only (config.py validation)
             cand = base.with_(engine=eng, modmul=mm)
             ms = timed(cand, f"{eng}/{mm}")
             if ms < best_ms:

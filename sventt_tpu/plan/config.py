@@ -119,11 +119,6 @@ class NttConfig:
                     "solinas modmul requires a sparse-high modulus "
                     "N = 2^64 - (c*2^s - 1), bit_width(c*2^s) <= 42"
                 )
-            if self.engine == "pallas":
-                raise ValueError(
-                    "solinas modmul currently supports the jnp engine only "
-                    "(pallas stage tables carry companion arrays)"
-                )
         if self.transpose not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown transpose strategy {self.transpose!r}")
         for name in ("block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems"):
