@@ -94,6 +94,26 @@ def test_distributed_pallas_engine(mesh, rng):
     np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
 
 
+def test_distributed_solinas_engine(mesh, rng):
+    """Solinas stage tables under shard_map (64-bit flagship modulus):
+    the mesh transform must match the single-chip wrapper bit-for-bit."""
+    from sventt_tpu import FLAGSHIP_GENERATOR, FLAGSHIP_MODULUS
+
+    cfg = NttConfig(
+        FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 1 << 12, strategy="six_step",
+        modmul="solinas",
+    )
+    dntt = DistributedNTT(cfg, mesh)
+    sntt = NTT(cfg)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+    fwd_d = u64_to_numpy(dntt.fc.normalize(dntt.compute_forward(xd)))
+    fwd_s = u64_to_numpy(sntt.fc.normalize(sntt.compute_forward(u64_from_numpy(x))))
+    np.testing.assert_array_equal(fwd_d, fwd_s)
+    back = dntt.compute_inverse(dntt.compute_forward(xd))
+    np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
+
+
 def test_distributed_cyclic_convolution(mesh, rng):
     """apps.cyclic_convolve duck-types over DistributedNTT: the whole
     forward -> Montgomery pointwise product -> inverse pipeline runs
