@@ -7,7 +7,7 @@ mesh (ICI on real multi-chip hardware, host simulation on the CPU backend)
 -- the transport the distributed six-step transpose rides.
 
 Emits one JSON line per point:
-  {"kind": "hbm_copy"|"hbm_reduce"|"all_to_all", ...}
+  {"kind": "stream_copy"|"stream_reduce"|"all_to_all", "regime": "vmem"|"hbm", ...}
 
 Usage: python benchmarks/bench_stream.py [--quick]
 """
@@ -26,8 +26,22 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from benchmarks.common import chain_time_ms, emit, log
 
 
+def _regime(nbytes: int) -> str:
+    """Which memory tier a chained loop over this buffer actually streams.
+
+    Round-4 ground truth (PERF_NOTES.md): buffers up to ~64 MB stay
+    VMEM-resident across fori_loop iterations (measured 5.6 TB/s at 64 MB
+    vs 654 GB/s at 256 MB on the v5e), so small 'stream' numbers are VMEM
+    bandwidth, not HBM."""
+    if nbytes <= (1 << 26):
+        return "vmem"
+    if nbytes >= (1 << 28):
+        return "hbm"
+    return "transitional"
+
+
 def bench_hbm(quick: bool) -> None:
-    sizes = [1 << 24] if quick else [1 << 22, 1 << 24, 1 << 26]
+    sizes = [1 << 24, 1 << 26] if quick else [1 << 22, 1 << 24, 1 << 26]
     for n in sizes:  # uint32 elements
         x = jax.device_put(jnp.ones((n,), jnp.uint32))
 
@@ -35,7 +49,8 @@ def bench_hbm(quick: bool) -> None:
         ms = chain_time_ms(copy, x)
         emit(
             {
-                "kind": "hbm_copy",
+                "kind": "stream_copy",
+                "regime": _regime(n * 4),
                 "bytes": n * 4,
                 "ms": round(ms, 4),
                 "gbps": round(n * 4 * 2 / (ms / 1e3) / 1e9, 1),
@@ -49,7 +64,8 @@ def bench_hbm(quick: bool) -> None:
         ms = chain_time_ms(jax.jit(reduce_step), x)
         emit(
             {
-                "kind": "hbm_reduce",
+                "kind": "stream_reduce",
+                "regime": _regime(n * 4),
                 "bytes": n * 4,
                 "ms": round(ms, 4),
                 "gbps": round(n * 4 * 3 / (ms / 1e3) / 1e9, 1),

@@ -120,6 +120,12 @@ def main() -> None:
     )
     emit("mont-mul-full", r.ms, n, 30)
 
+    # 6b. solinas direct fold multiply (companion-free, plain twiddles)
+    r = time_chained(
+        lambda v, w: fc.solinas_mul(v, w), x64, (w64,), seconds=seconds
+    )
+    emit("solinas-mul", r.ms, n, 26)
+
     # 7. the whole butterfly (canonical 64-bit path): fold pair back to one.
     # The second operand must be INDEPENDENT data (x0 == x1 lets XLA fold
     # x0 - x1 = 0 and collapse the twiddle multiply -- observed 6x too fast).
@@ -136,6 +142,16 @@ def main() -> None:
 
     r = time_chained(bfly, x64, (y64, w64, wp64), seconds=seconds)
     emit("butterfly-fwd", r.ms, n, 95)
+
+    # 8. same butterfly through the solinas engine (no companion operand)
+    fc_sol = FieldConsts.from_modulus(mod, modmul="solinas")
+
+    def bfly_sol(v, c, w):
+        y0, y1 = fc_sol.butterfly_forward(v, c, w, None)
+        return U64(y0.hi ^ y1.hi, y0.lo ^ y1.lo)
+
+    r = time_chained(bfly_sol, x64, (y64, w64), seconds=seconds)
+    emit("butterfly-fwd-solinas", r.ms, n, 95)
 
 
 if __name__ == "__main__":
