@@ -257,8 +257,11 @@ PLAYOFF_MARGIN = 1.2
 
 #: Playoff round-robin rounds (each candidate is timed this many times,
 #: interleaved, so slow drift -- tunnel state, thermal -- hits every
-#: candidate equally instead of biasing whichever ran last).
-PLAYOFF_ROUNDS = 3
+#: candidate equally instead of biasing whichever ran last).  2 rounds:
+#: each round is a fresh subprocess whose jax init alone costs minutes
+#: through a congested tunnel, and each measurement is already a median
+#: of 2 chains.
+PLAYOFF_ROUNDS = 2
 
 
 def _playoff(
