@@ -502,6 +502,11 @@ def tune(
     best, best_ms, timings = search(config, seconds)
     _verify_winner(config, best)
     _log(f"winner {_tag(best)} in {time.perf_counter() - t0:.0f}s")
+    # Re-read before writing: a search takes many minutes and writing the
+    # stale snapshot back would clobber entries added/deleted meanwhile
+    # (observed: a concurrent deletion of invalidated keys was undone by a
+    # sibling process's end-of-search write).
+    data = _load_cache(path)
     data[key] = {
         "knobs": {k: getattr(best, k) for k in KNOB_FIELDS},
         "timings": {
