@@ -395,20 +395,28 @@ def search(
         winner, winner_ms = _playoff(finalists, seconds, timings)
         return winner, winner_ms, timings
 
-    # Stage A: engine x modmul on default knobs.
+    # Stage A: engine x modmul on default knobs.  Track the best candidate
+    # PER ENGINE FAMILY: both families get their knob descent below -- an
+    # engine that loses stage A on default knobs can still win after its
+    # knobs are tuned (measured at 2^20: pallas/default beat jnp/default
+    # 1.6 vs 2.3 ms, but jnp with chunk_elems=2^19 + split_w_only reached
+    # 0.82 ms -- the old winner-only descent never found it).
     best, best_ms = None, float("inf")
+    family: dict[str, tuple[NttConfig, float]] = {}
     for eng in _engine_candidates(base):
         for mm in _modmul_candidates(base):
             cand = base.with_(engine=eng, modmul=mm)
             ms = timed(cand, f"{eng}/{mm}")
             if ms < best_ms:
                 best, best_ms = cand, ms
+            if ms < family.get(eng, (None, float("inf")))[1]:
+                family[eng] = (cand, ms)
     if best is None:
         raise RuntimeError("autotune: every candidate failed")
 
-    if best.engine != "pallas":
-        # jnp winner: tune the VMEM-resident chunk size (only bites when
-        # the transform exceeds one chunk)
+    def descend_jnp(best: NttConfig, best_ms: float):
+        # VMEM-resident chunk size (only bites when the transform exceeds
+        # one chunk) + companion-free inter-step tables.
         from .planner import JNP_RESIDENT_ELEMS, W_ONLY_THRESHOLD
 
         for name, grid in JNP_KNOB_GRID:
@@ -422,52 +430,56 @@ def search(
                 ms = timed(cand, f"{name}={val}")
                 if ms < best_ms:
                     best, best_ms = cand, ms
-        # Companion-free inter-step tables: trades the wp table read of
-        # every Split level for an in-flight u64 low-product.  Only bites
-        # when the plan decomposes; skip where the size heuristic already
-        # drops the companion.
         if best.split_w_only is None and config.n > config.ITERATIVE_MAX:
             default_w_only = config.n >= W_ONLY_THRESHOLD
             cand = best.with_(split_w_only=not default_w_only)
             ms = timed(cand, f"split_w_only={not default_w_only}")
             if ms < best_ms:
                 best, best_ms = cand, ms
-        return finish(best, best_ms)
+        return best, best_ms
 
-    # Stage B: plan shape (largest fused leaf).  Only meaningful when the
-    # transform decomposes (n above the leaf size).
-    from ..ops.ntt_pallas import MAX_FUSED
+    def descend_pallas(best: NttConfig, best_ms: float):
+        # Stage B: plan shape (largest fused leaf), when the transform
+        # decomposes; stage C: coordinate descent over the kernel knobs.
+        from ..ops.ntt_pallas import (
+            BLOCK_B,
+            DEFAULT_MAX_RADIX,
+            LANE_BLOCK_ROWS,
+            MAX_FUSED,
+            MAX_STAGES_PER_CALL,
+        )
 
-    for mf in PLAN_GRID:
-        if mf == (best.max_fused or MAX_FUSED) or config.n <= mf:
-            continue
-        cand = best.with_(max_fused=mf)
-        ms = timed(cand, f"max_fused={mf}")
-        if ms < best_ms:
-            best, best_ms = cand, ms
-
-    # Stage C: coordinate descent over the kernel knobs.
-    from ..ops.ntt_pallas import BLOCK_B, LANE_BLOCK_ROWS, MAX_STAGES_PER_CALL
-
-    from ..ops.ntt_pallas import DEFAULT_MAX_RADIX
-
-    defaults = {
-        "max_r": DEFAULT_MAX_RADIX,
-        "tw_layout": "tiled",
-        "block_b": BLOCK_B,
-        "stages_per_call": MAX_STAGES_PER_CALL,
-        "lane_rows": LANE_BLOCK_ROWS,
-    }
-    for name, grid in KNOB_GRID:
-        current = getattr(best, name) or defaults[name]
-        for val in grid:
-            if val == current:
+        for mf in PLAN_GRID:
+            if mf == (best.max_fused or MAX_FUSED) or config.n <= mf:
                 continue
-            cand = best.with_(**{name: val})
-            ms = timed(cand, f"{name}={val}")
+            cand = best.with_(max_fused=mf)
+            ms = timed(cand, f"max_fused={mf}")
             if ms < best_ms:
                 best, best_ms = cand, ms
+        defaults = {
+            "max_r": DEFAULT_MAX_RADIX,
+            "tw_layout": "tiled",
+            "block_b": BLOCK_B,
+            "stages_per_call": MAX_STAGES_PER_CALL,
+            "lane_rows": LANE_BLOCK_ROWS,
+        }
+        for name, grid in KNOB_GRID:
+            current = getattr(best, name) or defaults[name]
+            for val in grid:
+                if val == current:
+                    continue
+                cand = best.with_(**{name: val})
+                ms = timed(cand, f"{name}={val}")
+                if ms < best_ms:
+                    best, best_ms = cand, ms
+        return best, best_ms
 
+    results = []
+    if "jnp" in family:
+        results.append(descend_jnp(*family["jnp"]))
+    if "pallas" in family:
+        results.append(descend_pallas(*family["pallas"]))
+    best, best_ms = min(results, key=lambda t: t[1])
     return finish(best, best_ms)
 
 
