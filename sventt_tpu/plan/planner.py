@@ -76,8 +76,13 @@ def row_twiddles(
     size heuristic W_ONLY_THRESHOLD.  Autotunable via
     ``NttConfig.split_w_only``.  ``modmul="solinas"`` builds PLAIN
     canonical values, always companion-free (multiplied by
-    FieldConsts.solinas_mul in _mont_mul_bcast).
+    FieldConsts.solinas_mul in _mont_mul_bcast); every other engine's
+    inter-step tables are Montgomery-form (the shoup engine applies to
+    STAGE twiddles only -- _mont_mul_bcast always goes through the
+    Montgomery multiply).
     """
+    if modmul != "solinas":
+        modmul = "montgomery"
     if w_only is None:
         w_only = n0 * n1 >= W_ONLY_THRESHOLD
     if n0 * n1 > DEVICE_TWIDDLE_THRESHOLD:

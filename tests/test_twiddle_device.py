@@ -89,6 +89,24 @@ def test_wrapper_solinas_device_twiddles(rng, monkeypatch):
     assert (ntt.inverse_numpy(fwd) == x).all()
 
 
+def test_wrapper_shoup_device_twiddles(rng, monkeypatch):
+    """Shoup STAGE engine + device-built split twiddles: the inter-step
+    tables stay Montgomery-form (regression: passing modmul='shoup' into
+    the device builder raised 'shoup engine requires lazy mode' for every
+    shoup config above DEVICE_TWIDDLE_THRESHOLD)."""
+    monkeypatch.setattr(planner, "DEVICE_TWIDDLE_THRESHOLD", 1 << 6)
+    cfg = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, 1 << 10, modmul="shoup",
+        strategy="six_step",
+    )
+    ntt = NTT(cfg)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    golden = GoldenNTT(cfg.n, cfg.mod)
+    assert [int(v) for v in fwd] == golden.forward([int(v) for v in x])
+    assert (ntt.inverse_numpy(fwd) == x).all()
+
+
 @pytest.mark.parametrize("modulus,generator", MODULI)
 def test_wrapper_on_device_twiddles_wp_none(modulus, generator, rng, monkeypatch):
     """Full transform through the device-built, companion-free table path
