@@ -339,7 +339,7 @@ KNOB_GRID = (
 
 #: jnp-engine knob grid (coordinate descent when the jnp engine wins).
 JNP_KNOB_GRID = (
-    ("chunk_elems", (1 << 19, 1 << 20, 1 << 21, 1 << 22)),
+    ("chunk_elems", (1 << 18, 1 << 19, 1 << 20, 1 << 21, 1 << 22)),
 )
 
 
