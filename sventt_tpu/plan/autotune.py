@@ -306,9 +306,9 @@ def _engine_candidates(config: NttConfig) -> list[str]:
     if config.engine != "auto":
         return [config.engine]
     if _backend() != "tpu":
-        # interpret-mode pallas timings are meaningless; XLA only
+        # interpret-mode pallas/mxu timings are meaningless; XLA only
         return ["jnp"]
-    return ["jnp", "pallas"]
+    return ["jnp", "pallas", "mxu"]
 
 
 def _modmul_candidates(config: NttConfig) -> list[str]:
@@ -405,6 +405,8 @@ def search(
     family: dict[str, tuple[NttConfig, float]] = {}
     for eng in _engine_candidates(base):
         for mm in _modmul_candidates(base):
+            if eng == "mxu" and base.modmul == "auto" and mm != "montgomery":
+                continue  # the matrix engine ignores the stage modmul
             cand = base.with_(engine=eng, modmul=mm)
             ms = timed(cand, f"{eng}/{mm}")
             if ms < best_ms:
@@ -479,6 +481,8 @@ def search(
         results.append(descend_jnp(*family["jnp"]))
     if "pallas" in family:
         results.append(descend_pallas(*family["pallas"]))
+    if "mxu" in family:
+        results.append(family["mxu"])  # no knobs yet; playoff adjudicates
     best, best_ms = min(results, key=lambda t: t[1])
     return finish(best, best_ms)
 

@@ -107,7 +107,7 @@ class NttConfig:
             )
         if self.strategy not in ("auto", "iterative", "six_step"):
             raise ValueError(f"unknown strategy {self.strategy!r}")
-        if self.engine not in ("auto", "jnp", "pallas"):
+        if self.engine not in ("auto", "jnp", "pallas", "mxu"):
             raise ValueError(f"unknown engine {self.engine!r}")
         if self.modmul not in ("auto", "montgomery", "shoup", "solinas"):
             raise ValueError(f"unknown modmul engine {self.modmul!r}")

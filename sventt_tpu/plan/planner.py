@@ -29,7 +29,7 @@ import numpy as np
 
 from ..field.limb import U64, FieldConsts
 from ..field.modulus import Modulus
-from ..ops import ntt_pallas
+from ..ops import ntt_mxu, ntt_pallas
 from ..ops.ntt_jnp import (
     ntt_forward,
     ntt_forward_mid,
@@ -132,7 +132,12 @@ def build_plan(n: int, engine: str, max_fused: int | None = None) -> "Leaf | Spl
     level deeper.
     """
     if max_fused is None:
-        max_fused = ntt_pallas.MAX_FUSED if engine == "pallas" else 1 << 13
+        if engine == "pallas":
+            max_fused = ntt_pallas.MAX_FUSED
+        elif engine == "mxu":
+            max_fused = ntt_mxu.MAX_MXU
+        else:
+            max_fused = 1 << 13
     if n <= max_fused:
         return Leaf(n, engine)
     log2n = n.bit_length() - 1
@@ -204,6 +209,10 @@ class PlanTables:
                     self.mod, node.m, inverse=self.inverse, modmul=modmul,
                     block_b=block_b, spc=spc, max_r=self.knobs[6],
                     tw_layout=self.knobs[7] if len(self.knobs) > 7 else None,
+                )
+            elif node.engine == "mxu":
+                t = ntt_mxu.make_mxu_tables(
+                    self.mod, node.m, inverse=self.inverse,
                 )
             elif self.inverse:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)
@@ -420,6 +429,16 @@ def _jnp_row(node) -> bool:
     )
 
 
+def _mxu_row(node) -> bool:
+    """Split nodes whose row child is an mxu leaf run it lane-axis (no
+    batch) or mid-axis (batched) -- no transposes at that level either."""
+    return (
+        isinstance(node, Split)
+        and isinstance(node.row, Leaf)
+        and node.row.engine == "mxu"
+    )
+
+
 def run_forward(x: U64, node, tables: PlanTables) -> U64:
     """Length-m DIF NTT along the leading axis (bit-reversed output)."""
     fc = tables.fc
@@ -427,12 +446,23 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         t = tables.leaf[node.m]
         if node.engine == "pallas":
             return ntt_pallas.fused_ntt(x, t, fc)
+        if node.engine == "mxu":
+            return ntt_mxu.mxu_ntt(x, t, fc)
         return _jnp_chunked(x, t, fc, ntt_forward, tables.knobs[3])
     m0, m1 = node.m0, node.m1
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     mat = run_forward(mat, node.col, tables)  # column NTTs, leading axis m0
-    if not batch and _lane_row(node) and node.m1 in tables.lane:
+    if _mxu_row(node):
+        # mxu row leaf: lane-axis (no batch) or mid-axis (batched), no
+        # transposes; inter-step twiddles as a separate multiply pass
+        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+        t = tables.leaf[node.m1]
+        if batch:
+            mat = ntt_mxu.mxu_ntt_mid(mat, t, fc)
+        else:
+            mat = ntt_mxu.mxu_ntt_lane(mat, t, fc)
+    elif not batch and _lane_row(node) and node.m1 in tables.lane:
         # lane-axis row leaf: transform along axis 1 in place, no transposes,
         # inter-step twiddles fused as the kernel prologue
         mat = ntt_pallas.fused_ntt_lane(
@@ -467,11 +497,21 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
         t = tables.leaf[node.m]
         if node.engine == "pallas":
             return ntt_pallas.fused_ntt(x, t, fc)
+        if node.engine == "mxu":
+            return ntt_mxu.mxu_ntt(x, t, fc)
         return _jnp_chunked(x, t, fc, ntt_inverse, tables.knobs[3])
     m0, m1 = node.m0, node.m1
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
-    if not batch and _lane_row(node) and node.m1 in tables.lane:
+    if _mxu_row(node):
+        # undo row NTTs (lane/mid), then inverse inter-step twiddles
+        t = tables.leaf[node.m1]
+        if batch:
+            mat = ntt_mxu.mxu_ntt_mid(mat, t, fc)
+        else:
+            mat = ntt_mxu.mxu_ntt_lane(mat, t, fc)
+        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+    elif not batch and _lane_row(node) and node.m1 in tables.lane:
         # undo row NTTs along axis 1; inverse inter-step twiddles fused as
         # the kernel epilogue
         mat = ntt_pallas.fused_ntt_lane(

@@ -1,0 +1,103 @@
+"""MXU matrix-NTT engine vs the golden model (interpret mode on CPU).
+
+The int8 limb-plane matmul engine (ops/ntt_mxu.py) must be bit-exact
+against GoldenNTT in every orientation (leading / middle / lane axis),
+both directions, including adversarial maximal-carry inputs, and compose
+through the planner into multi-level six-step plans.
+"""
+
+import numpy as np
+import pytest
+
+from sventt_tpu import (
+    FLAGSHIP_GENERATOR,
+    FLAGSHIP_MODULUS,
+    TEST_GENERATOR,
+    TEST_MODULUS,
+)
+from sventt_tpu.field.golden import GoldenNTT
+from sventt_tpu.field.limb import FieldConsts, u64_from_numpy, u64_to_numpy
+from sventt_tpu.field.modulus import Modulus
+from sventt_tpu.ops import ntt_mxu
+from sventt_tpu.plan import NTT, NttConfig
+
+MODULI = [
+    pytest.param(TEST_MODULUS, TEST_GENERATOR, id="62bit"),
+    pytest.param(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, id="flagship-64bit"),
+]
+
+
+@pytest.mark.parametrize("m", [8, 64, 256])
+@pytest.mark.parametrize("N,g", MODULI)
+def test_mxu_forward_inverse_golden(rng, N, g, m):
+    mod = Modulus(N, g)
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    golden = GoldenNTT(m, mod)
+    ft = ntt_mxu.make_mxu_tables(mod, m, inverse=False)
+    it = ntt_mxu.make_mxu_tables(mod, m, inverse=True)
+    x = rng.integers(0, N, (m, 3), dtype=np.uint64)
+    x[:, 1] = N - 1  # maximal-carry column (2^128-overflow fold path)
+    out = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), ft, fc))
+    for c in range(x.shape[1]):
+        assert [int(v) for v in out[:, c]] == golden.forward(
+            [int(v) for v in x[:, c]]
+        )
+    back = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(out), it, fc))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_mxu_mid_and_lane_match_lead(rng):
+    mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    m = 32
+    ft = ntt_mxu.make_mxu_tables(mod, m, inverse=False)
+    xm = rng.integers(0, mod.modulus, (4, m, 2), dtype=np.uint64)
+    want = np.stack(
+        [
+            u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(xm[a]), ft, fc))
+            for a in range(xm.shape[0])
+        ]
+    )
+    got_mid = u64_to_numpy(ntt_mxu.mxu_ntt_mid(u64_from_numpy(xm), ft, fc))
+    np.testing.assert_array_equal(got_mid, want)
+    got_lane = u64_to_numpy(
+        ntt_mxu.mxu_ntt_lane(u64_from_numpy(xm.transpose(0, 2, 1)), ft, fc)
+    ).transpose(0, 2, 1)
+    np.testing.assert_array_equal(got_lane, want)
+
+
+@pytest.mark.parametrize("log2n", [10, 12])
+def test_mxu_engine_through_planner(rng, log2n):
+    """engine='mxu' plans (lane row at the top level, mid rows inside)
+    match the jnp engine bit-for-bit and roundtrip."""
+    cfg = NttConfig(
+        FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 1 << log2n, engine="mxu"
+    )
+    ntt = NTT(cfg)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    fwd = ntt.forward_numpy(x)
+    ref = NTT(cfg.with_(engine="jnp"), enable_inverse=False)
+    np.testing.assert_array_equal(fwd, ref.forward_numpy(x))
+    assert (ntt.inverse_numpy(fwd) == x).all()
+
+
+def test_mxu_three_level_plan(rng):
+    """The 2^24-shaped composition at reduced scale: a 3-level left-deep
+    mxu plan (Split(Split(leaf, leaf-mid), leaf-lane))."""
+    from sventt_tpu.plan import planner
+
+    cfg = NttConfig(
+        FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, 1 << 14, engine="mxu",
+        max_fused=32,
+    )
+    ntt = NTT(cfg, enable_inverse=False)
+    assert isinstance(ntt.plan.col, planner.Split)  # 3 levels
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    ref = NTT(cfg.with_(engine="jnp", max_fused=None), enable_inverse=False)
+    np.testing.assert_array_equal(ntt.forward_numpy(x), ref.forward_numpy(x))
+
+
+def test_mxu_rejects_oversize():
+    mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
+    with pytest.raises(ValueError):
+        ntt_mxu.make_mxu_tables(mod, 512, inverse=False)
