@@ -87,6 +87,11 @@ class MxuDirection:
     m: int
     inverse: bool
     planes: jnp.ndarray
+    #: (m, NL*m) pre-transposed copy for the lane orientation: the lane
+    #: dot contracts the last axis of both operands otherwise, which
+    #: Mosaic executes ~9x slower than a plain matmul (measured 6.3 vs
+    #: 0.69 ms at 2^22).
+    planes_t: jnp.ndarray
     modulus: int
     c128: int  # 2^128 mod N
     nprime: int  # N^-1 mod 2^64
@@ -95,7 +100,7 @@ class MxuDirection:
 
 jax.tree_util.register_dataclass(
     MxuDirection,
-    data_fields=["planes"],
+    data_fields=["planes", "planes_t"],
     meta_fields=["m", "inverse", "modulus", "c128", "nprime", "block_b"],
 )
 
@@ -132,8 +137,8 @@ def make_mxu_tables(
         [((M >> (7 * i)) & 0x7F).astype(np.int8) for i in range(NL)], axis=0
     )
     return MxuDirection(
-        m, inverse, jnp.asarray(planes), N, pow(2, 128, N),
-        pow(N, -1, 1 << 64), block_b or MXU_BLOCK_B,
+        m, inverse, jnp.asarray(planes), jnp.asarray(planes.T.copy()),
+        N, pow(2, 128, N), pow(N, -1, 1 << 64), block_b or MXU_BLOCK_B,
     )
 
 
@@ -158,8 +163,9 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, lane: bool = False):
             v = ((xlv >> np.uint32(lo_bit)) | (xhv << np.uint32(32 - lo_bit))) & np.uint32(0x7F)
         Xi = v.astype(jnp.int8)
         if lane:
+            # mm here is planes_t (m, NL*m): a plain matmul
             Ci = jax.lax.dot_general(
-                Xi, mm, (((1,), (1,)), ((), ())),
+                Xi, mm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # (rows, NL*m)
             Cir = Ci.reshape(xhv.shape[0], NL, m)
@@ -231,8 +237,10 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-#: Batch rows per lane-variant block.
-MXU_LANE_ROWS = 128
+#: Batch rows per lane-variant block.  32 keeps the kernel's scoped-VMEM
+#: temporaries (int32 product planes etc.) under Mosaic's 16 MB stack
+#: limit at m=256 (128 rows OOM'd: 26.8 MB scoped).
+MXU_LANE_ROWS = 32
 
 
 @functools.lru_cache(maxsize=None)
@@ -240,7 +248,7 @@ def _mxu_lane_call(meta: tuple):
     """Jitted pallas_call for the lane orientation (transform along the
     LAST axis of (B, m) data, gridded over row blocks)."""
     m, inverse, modulus, c128, nprime, block_b = meta
-    t = MxuDirection(m, inverse, None, modulus, c128, nprime, block_b)
+    t = MxuDirection(m, inverse, None, None, modulus, c128, nprime, block_b)
     rows = MXU_LANE_ROWS
 
     def kernel(xh_ref, xl_ref, m_ref, oh_ref, ol_ref):
@@ -248,13 +256,13 @@ def _mxu_lane_call(meta: tuple):
         oh_ref[:], ol_ref[:] = res.hi, res.lo
 
     @jax.jit
-    def call(xh, xl, planes):
+    def call(xh, xl, planes_t):
         b = xh.shape[0]
         x_spec = pl.BlockSpec(
             (rows, m), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         m_spec = pl.BlockSpec(
-            (NL * m, m), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (m, NL * m), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         return pl.pallas_call(
             kernel,
@@ -263,7 +271,7 @@ def _mxu_lane_call(meta: tuple):
             in_specs=[x_spec, x_spec, m_spec],
             out_specs=[x_spec] * 2,
             interpret=_use_interpret(),
-        )(xh, xl, planes)
+        )(xh, xl, planes_t)
 
     return call
 
@@ -282,7 +290,7 @@ def mxu_ntt_lane(x: U64, tables: MxuDirection, fc: FieldConsts) -> U64:
     if bp != b:
         xh = jnp.pad(xh, ((0, bp - b), (0, 0)))
         xl = jnp.pad(xl, ((0, bp - b), (0, 0)))
-    oh, ol = _mxu_lane_call(_meta(tables))(xh, xl, tables.planes)
+    oh, ol = _mxu_lane_call(_meta(tables))(xh, xl, tables.planes_t)
     if bp != b:
         oh, ol = oh[:b], ol[:b]
     return U64(oh.reshape(batch_shape + (m,)), ol.reshape(batch_shape + (m,)))
@@ -292,7 +300,7 @@ def mxu_ntt_lane(x: U64, tables: MxuDirection, fc: FieldConsts) -> U64:
 def _mxu_call(meta: tuple, mid: bool):
     """Jitted pallas_call for one direction (cached per table meta)."""
     m, inverse, modulus, c128, nprime, block_b = meta
-    t = MxuDirection(m, inverse, None, modulus, c128, nprime, block_b)
+    t = MxuDirection(m, inverse, None, None, modulus, c128, nprime, block_b)
 
     if not mid:
 

@@ -482,7 +482,17 @@ def search(
     if "pallas" in family:
         results.append(descend_pallas(*family["pallas"]))
     if "mxu" in family:
-        results.append(family["mxu"])  # no knobs yet; playoff adjudicates
+        best_m, best_m_ms = family["mxu"]
+        # the split-table companion knob applies to every engine family
+        if best_m.split_w_only is None and config.n > config.ITERATIVE_MAX:
+            from .planner import W_ONLY_THRESHOLD
+
+            default_w_only = config.n >= W_ONLY_THRESHOLD
+            cand = best_m.with_(split_w_only=not default_w_only)
+            ms = timed(cand, f"mxu/split_w_only={not default_w_only}")
+            if ms < best_m_ms:
+                best_m, best_m_ms = cand, ms
+        results.append((best_m, best_m_ms))
     best, best_ms = min(results, key=lambda t: t[1])
     return finish(best, best_ms)
 

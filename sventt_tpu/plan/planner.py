@@ -454,14 +454,18 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     mat = run_forward(mat, node.col, tables)  # column NTTs, leading axis m0
     if _mxu_row(node):
-        # mxu row leaf: lane-axis (no batch) or mid-axis (batched), no
-        # transposes; inter-step twiddles as a separate multiply pass
+        # mxu row leaf: mid-axis when batched (no transposes); the
+        # no-batch top level goes transpose / leading-axis / transpose --
+        # the lane-orientation matmul measures ~9x slower on Mosaic while
+        # XLA's transpose costs ~0.1 ms at the 2^24 row-matrix shape
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
         t = tables.leaf[node.m1]
         if batch:
             mat = ntt_mxu.mxu_ntt_mid(mat, t, fc)
         else:
-            mat = ntt_mxu.mxu_ntt_lane(mat, t, fc)
+            mat = _transpose01(mat, tables.knobs[5])
+            mat = ntt_mxu.mxu_ntt(mat, t, fc)
+            mat = _transpose01(mat, tables.knobs[5])
     elif not batch and _lane_row(node) and node.m1 in tables.lane:
         # lane-axis row leaf: transform along axis 1 in place, no transposes,
         # inter-step twiddles fused as the kernel prologue
@@ -504,12 +508,14 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     if _mxu_row(node):
-        # undo row NTTs (lane/mid), then inverse inter-step twiddles
+        # undo row NTTs (mid / transposed lead), then inverse twiddles
         t = tables.leaf[node.m1]
         if batch:
             mat = ntt_mxu.mxu_ntt_mid(mat, t, fc)
         else:
-            mat = ntt_mxu.mxu_ntt_lane(mat, t, fc)
+            mat = _transpose01(mat, tables.knobs[5])
+            mat = ntt_mxu.mxu_ntt(mat, t, fc)
+            mat = _transpose01(mat, tables.knobs[5])
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     elif not batch and _lane_row(node) and node.m1 in tables.lane:
         # undo row NTTs along axis 1; inverse inter-step twiddles fused as
