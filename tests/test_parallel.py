@@ -94,6 +94,28 @@ def test_distributed_pallas_engine(mesh, rng):
     np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
 
 
+def test_distributed_mxu_engine(mesh, rng):
+    """MXU matrix leaves inside shard_map on the CPU mesh (interpret
+    mode): forward matches the single-chip wrapper + roundtrip -- the
+    multi-chip composition of the round-4 headline engine must not be
+    first executed on a real pod."""
+    cfg = NttConfig(
+        TEST_MODULUS, TEST_GENERATOR, 1 << 12, strategy="six_step",
+        engine="mxu",
+    )
+    dntt = DistributedNTT(cfg, mesh)
+    sntt = NTT(cfg)
+    x = rng.integers(0, cfg.modulus, cfg.n, dtype=np.uint64)
+    xd = jax.device_put(u64_from_numpy(x), dntt.sharding())
+    fwd_d = dntt.compute_forward(xd)
+    np.testing.assert_array_equal(
+        u64_to_numpy(dntt.fc.normalize(fwd_d)),
+        u64_to_numpy(sntt.fc.normalize(sntt.compute_forward(u64_from_numpy(x)))),
+    )
+    back = dntt.compute_inverse(fwd_d)
+    np.testing.assert_array_equal(u64_to_numpy(dntt.fc.normalize(back)), x)
+
+
 def test_distributed_solinas_engine(mesh, rng):
     """Solinas stage tables under shard_map (64-bit flagship modulus):
     the mesh transform must match the single-chip wrapper bit-for-bit."""
