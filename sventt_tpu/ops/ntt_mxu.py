@@ -1,6 +1,6 @@
 """MXU matrix-NTT engine: small-m NTTs as int8 limb-plane matmuls.
 
-The third leaf engine (next to jnp and pallas): a length-m NTT (m <= 256)
+The third leaf engine (next to jnp and pallas): a length-m NTT (m <= MAX_MXU)
 is evaluated as the dense matrix product
 
   forward:  X[p] = sum_j  M[p, j] * x[j],   M[p, j] = R64 * omega^(bitrev(p)*j)
@@ -21,7 +21,7 @@ Montgomery REDC (companion computed from the low 64 bits) lands in
 canonical [0, N).
 
 Exactness bounds: plane products <= 127^2; each output plane sums
-m * NL terms < 256 * 10 * 16129 < 2^26 -- int32-safe.  Recombination
+m * NL terms <= 512 * 10 * 16129 < 2^27 -- int32-safe.  Recombination
 is exact 192-bit integer arithmetic; sum_j M[p,j]*x[j] < m * N^2 <
 2^(8+128) = 2^136... the 6-limb accumulator holds 192 bits, and the
 fold + REDC reduce any value < 2^192 correctly (fold handles the top
@@ -66,10 +66,13 @@ from ..field.modulus import Modulus
 #: 7-bit limb planes per u64 (10 * 7 = 70 >= 64 bits).
 NL = 10
 
-#: Largest matrix-NTT length: int32 accumulator bound (m * NL * 127^2 <
-#: 2^31) allows up to m = 1024, but 256 keeps the (NL*m, m) int8 matrix
-#: at 640 KB VMEM and the per-level recombination cost dominant anyway.
-MAX_MXU = 256
+#: Largest matrix-NTT length: the int32 accumulator bound
+#: (m * NL * 127^2 < 2^31) allows up to m = 1024; 512 is the largest
+#: whose kernel fits Mosaic's scoped-VMEM stack at the default block
+#: sizes ((NL*m, m) int8 matrix = 2.6 MB, int32 product planes scale
+#: with m * block_b).  512-point levels let 2^26-2^27 run as 3-level
+#: plans (the 4-level 128-leaf alternative measured slower than jnp).
+MAX_MXU = 512
 
 #: Lane-tile width (batch columns per grid step).
 MXU_BLOCK_B = 128

@@ -97,7 +97,27 @@ def test_mxu_three_level_plan(rng):
     np.testing.assert_array_equal(ntt.forward_numpy(x), ref.forward_numpy(x))
 
 
+def test_mxu_512_leaf(rng):
+    """MAX_MXU=512 leaves: bit-exact + roundtrip (int32 bound holds at
+    512 * NL * 127^2 < 2^27)."""
+    mod = Modulus(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR)
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    m = 512
+    golden = GoldenNTT(m, mod)
+    ft = ntt_mxu.make_mxu_tables(mod, m, inverse=False)
+    it = ntt_mxu.make_mxu_tables(mod, m, inverse=True)
+    x = rng.integers(0, mod.modulus, (m, 2), dtype=np.uint64)
+    x[:, 1] = mod.modulus - 1
+    out = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), ft, fc))
+    for c in range(2):
+        assert [int(v) for v in out[:, c]] == golden.forward(
+            [int(v) for v in x[:, c]]
+        )
+    back = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(out), it, fc))
+    np.testing.assert_array_equal(back, x)
+
+
 def test_mxu_rejects_oversize():
     mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
     with pytest.raises(ValueError):
-        ntt_mxu.make_mxu_tables(mod, 512, inverse=False)
+        ntt_mxu.make_mxu_tables(mod, 1024, inverse=False)
