@@ -483,6 +483,17 @@ def search(
         results.append(descend_pallas(*family["pallas"]))
     if "mxu" in family:
         best_m, best_m_ms = family["mxu"]
+        # plan shape: level size trades matmul cost (~ m) against level
+        # count (the recombination tail is per-point per-level)
+        from ..ops.ntt_mxu import MAX_MXU
+
+        for mf in (64, 128, 256):
+            if mf == (best_m.max_fused or MAX_MXU) or config.n <= mf:
+                continue
+            cand = best_m.with_(max_fused=mf)
+            ms = timed(cand, f"mxu/max_fused={mf}")
+            if ms < best_m_ms:
+                best_m, best_m_ms = cand, ms
         # the split-table companion knob applies to every engine family
         if best_m.split_w_only is None and config.n > config.ITERATIVE_MAX:
             from .planner import W_ONLY_THRESHOLD
