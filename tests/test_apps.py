@@ -79,6 +79,16 @@ def test_magic_series_chunked_matches_direct():
     assert magic_series_count(m, N, G, chunk=16) == MAGIC_SERIES[m]
 
 
+def test_magic_series_via_mxu_engine():
+    """The end-to-end convolution pipeline over the MXU matrix engine
+    (the round-4 headline engine): forward -> Montgomery pointwise ->
+    inverse must still reproduce the exact count."""
+    from sventt_tpu.apps.convolve import make_convolver
+
+    ntt = make_convolver(N, G, 256, engine="mxu")
+    assert magic_series_count(5, N, G, ntt=ntt) == MAGIC_SERIES[5]
+
+
 def test_gaussian_binomial_limit_is_binomial():
     # [q^0] qbinom(n, k) = 1; sum over r of coefficients = C(n, k) checked
     # via a single interior coefficient against exact integer arithmetic.
