@@ -219,11 +219,21 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, lane: bool = False):
     )
     T_lo2, c3 = u64_add_carry(T_lo2, add128)
     T_hi = u64_add(s2, U64(z, c3))
-    # reduce T_hi below N: T_hi < 2^64 needs floor((2^64-1)/N) conditional
-    # subtracts (1 for 64-bit N, 4 for a 62-bit N -- a fixed count of 2
-    # silently under-reduces small moduli at m=256 adversarial inputs)
+    # reduce T_hi below N.  Small counts ((2^64-1)//N <= 3, i.e. 62-bit+
+    # moduli) unroll conditional subtracts; anything smaller takes ONE
+    # Barrett step (q = hi64(T_hi * floor(2^64/N)) satisfies
+    # floor(T_hi/N) - 1 <= q <= floor(T_hi/N), so T_hi - q*N < 2N) plus a
+    # single conditional subtract -- bounded trace size for ANY modulus
+    # (the old unrolled (2^64-1)//N loop attempted ~2.8e14 select ops for
+    # the F4 prime 2^16+1: an effective trace-time hang).
     nn = u64_const_like(t.modulus, T_hi)
-    for _ in range(max(1, ((1 << 64) - 1) // t.modulus)):
+    nsub = max(1, ((1 << 64) - 1) // t.modulus)
+    if nsub > 3:
+        mu = u64_const_like((1 << 64) // t.modulus, T_hi)
+        qq = u64_mulhi(T_hi, mu)
+        T_hi = u64_sub(T_hi, u64_mullo(qq, nn))
+        nsub = 1
+    for _ in range(nsub):
         cand = u64_sub(T_hi, nn)
         T_hi = u64_select(u64_lt(T_hi, nn), T_hi, cand)
     # subtractive Montgomery REDC of T_hi*2^64 + T_lo2 (R64 baked in M

@@ -121,3 +121,25 @@ def test_mxu_rejects_oversize():
     mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
     with pytest.raises(ValueError):
         ntt_mxu.make_mxu_tables(mod, 1024, inverse=False)
+
+
+def test_mxu_small_modulus_f4(rng):
+    """The F4 prime 2^16+1: the canonicalization step must stay bounded
+    (the round-4 unrolled (2^64-1)//N subtract chain attempted ~2.8e14
+    trace-time ops here -- an effective hang; now a single Barrett step)
+    and remain bit-exact."""
+    mod = Modulus(65537, 3)
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    m = 64
+    golden = GoldenNTT(m, mod)
+    ft = ntt_mxu.make_mxu_tables(mod, m, inverse=False)
+    it = ntt_mxu.make_mxu_tables(mod, m, inverse=True)
+    x = rng.integers(0, mod.modulus, (m, 3), dtype=np.uint64)
+    x[:, 1] = mod.modulus - 1
+    out = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), ft, fc))
+    for c in range(x.shape[1]):
+        assert [int(v) for v in out[:, c]] == golden.forward(
+            [int(v) for v in x[:, c]]
+        )
+    back = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(out), it, fc))
+    np.testing.assert_array_equal(back, x)
