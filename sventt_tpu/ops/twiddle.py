@@ -231,6 +231,7 @@ def _mont_precompute_device(w: U64, mod: Modulus) -> U64:
 def sixstep_row_twiddles_device(
     mod: Modulus, n0: int, n1: int, *, inverse: bool = False,
     with_companion: bool = True, modmul: str = "montgomery",
+    transposed: bool = False,
 ) -> "MontPair":
     """Device-built inter-step twiddle matrix for large transforms.
 
@@ -247,6 +248,9 @@ def sixstep_row_twiddles_device(
     ``modmul="montgomery"``: Montgomery-form values (+ optional companion).
     ``modmul="solinas"``: PLAIN canonical values, always companion-free
     (the solinas engine multiplies directly).
+    ``transposed=True`` returns the (n1, n0) matrix W^T[j1, p0] -- the
+    layout the fused-twiddle MXU lead kernel consumes -- which is FREE
+    here: the scan emits that orientation natively.
     """
     import jax
     import jax.numpy as jnp
@@ -282,8 +286,12 @@ def sixstep_row_twiddles_device(
             return mul(carry, base), carry
 
         _, cols = jax.lax.scan(step, one, None, length=n1)
-        # cols: (n1, n0) twiddles; transpose to (n0, n1).
-        w = U64(jnp.transpose(cols.hi), jnp.transpose(cols.lo))
+        # cols: (n1, n0) twiddles -- already the transposed orientation;
+        # transpose to (n0, n1) for the standard layout.
+        if transposed:
+            w = cols
+        else:
+            w = U64(jnp.transpose(cols.hi), jnp.transpose(cols.lo))
         # with_companion=False halves twiddle memory for huge n: the
         # Montgomery companion is recomputed per multiply (mont_mul_full).
         wp = (

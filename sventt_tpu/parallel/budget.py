@@ -38,15 +38,22 @@ def _leaf_table_bytes(plan, block_b: int = 256, rows: int = 64) -> int:
     def walk(node):
         nonlocal total
         if isinstance(node, planner.Leaf):
-            if node.m in seen:
+            if (node.m, node.engine) in seen:
                 return
-            seen.add(node.m)
+            seen.add((node.m, node.engine))
             stages = node.m.bit_length() - 1
             if node.engine == "pallas":
                 # four (m/2, block_b) u32 arrays per stage (+ scale rows)
                 total += (stages + 1) * 4 * (node.m // 2) * block_b * 4
                 # lane-axis variant: (stages, 4, rows, m) u32
                 total += stages * 4 * rows * node.m * 4
+            elif node.engine == "mxu":
+                # stacked digit-plane matrix (NP*m, m) int8 plus its
+                # transposed copy, and the s8 (1, m) U64 correction row
+                # (ops/ntt_mxu.py MxuDirection)
+                from ..ops import ntt_mxu
+
+                total += 2 * ntt_mxu.NL_S8 * node.m * node.m + 8 * node.m
             else:
                 total += stages * 4 * node.m * 4
         else:

@@ -68,6 +68,7 @@ JNP_RESIDENT_ELEMS = 1 << 21
 def row_twiddles(
     mod: Modulus, n0: int, n1: int, *, inverse: bool,
     w_only: bool | None = None, modmul: str = "montgomery",
+    transposed: bool = False,
 ) -> MontPair:
     """Inter-step twiddle matrix for one Split level.
 
@@ -88,18 +89,30 @@ def row_twiddles(
     if n0 * n1 > DEVICE_TWIDDLE_THRESHOLD:
         return sixstep_row_twiddles_device(
             mod, n0, n1, inverse=inverse, with_companion=not w_only,
-            modmul=modmul,
+            modmul=modmul, transposed=transposed,
         )
     if modmul == "solinas":
         from ..ops.twiddle import sixstep_row_twiddles_plain
 
-        return sixstep_row_twiddles_plain(mod, n0, n1, inverse=inverse)
-    tw = (
-        sixstep_row_twiddles_inverse(mod, n0, n1)
-        if inverse
-        else sixstep_row_twiddles(mod, n0, n1)
-    )
-    return MontPair(tw.w, None) if w_only else tw
+        tw = sixstep_row_twiddles_plain(mod, n0, n1, inverse=inverse)
+    else:
+        tw = (
+            sixstep_row_twiddles_inverse(mod, n0, n1)
+            if inverse
+            else sixstep_row_twiddles(mod, n0, n1)
+        )
+        if w_only:
+            tw = MontPair(tw.w, None)
+    if transposed:
+        tw = _transpose_pair(tw)
+    return tw
+
+
+def _transpose_pair(tw: MontPair) -> MontPair:
+    w = U64(jnp.transpose(tw.w.hi), jnp.transpose(tw.w.lo))
+    if tw.wp is None:
+        return MontPair(w, None)
+    return MontPair(w, U64(jnp.transpose(tw.wp.hi), jnp.transpose(tw.wp.lo)))
 
 
 @dataclass(frozen=True)
@@ -135,7 +148,11 @@ def build_plan(n: int, engine: str, max_fused: int | None = None) -> "Leaf | Spl
         if engine == "pallas":
             max_fused = ntt_pallas.MAX_FUSED
         elif engine == "mxu":
-            max_fused = ntt_mxu.MAX_MXU
+            # 512 measured best at 2^24/2^28 (m = 1024 leaves are legal up
+            # to MAX_MXU but their per-point matmul cost outweighs the
+            # saved level: 2^28 3-level-1024 = 303 ms vs 4-level-512 252);
+            # the autotuner can still race max_fused = 1024.
+            max_fused = 512
         else:
             max_fused = 1 << 13
     if n <= max_fused:
@@ -189,16 +206,22 @@ class PlanTables:
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
-        self._prepare(plan)
+        #: TRANSPOSED (m1, m0) inter-step tables for root mxu-row nodes:
+        #: the fused-twiddle lead kernel consumes the data's transposed
+        #: layout, and storing only this orientation avoids doubling the
+        #: top level's table bytes (the mid/batched path transposes back
+        #: on the fly in the rare batched-root case).
+        self.split_tw_t: dict[tuple[int, int], MontPair] = {}
+        self._prepare(plan, root=True)
 
     @classmethod
     def _unflatten(cls, aux, children):
         obj = object.__new__(cls)
         obj.plan, obj.mod, obj.fc, obj.inverse, obj.knobs = aux
-        obj.leaf, obj.lane, obj.split_tw = children
+        obj.leaf, obj.lane, obj.split_tw, obj.split_tw_t = children
         return obj
 
-    def _prepare(self, node):
+    def _prepare(self, node, root: bool = False):
         if isinstance(node, Leaf):
             if node.m in self.leaf:
                 return
@@ -221,7 +244,14 @@ class PlanTables:
             self.leaf[node.m] = t
         else:
             key = (node.m0, node.m1)
-            if key not in self.split_tw:
+            if root and _mxu_row(node):
+                if key not in self.split_tw_t:
+                    self.split_tw_t[key] = row_twiddles(
+                        self.mod, node.m0, node.m1, inverse=self.inverse,
+                        w_only=self.knobs[4], modmul=self.fc.modmul,
+                        transposed=True,
+                    )
+            elif key not in self.split_tw:
                 self.split_tw[key] = row_twiddles(
                     self.mod, node.m0, node.m1, inverse=self.inverse,
                     w_only=self.knobs[4], modmul=self.fc.modmul,
@@ -239,7 +269,7 @@ class PlanTables:
 jax.tree_util.register_pytree_node(
     PlanTables,
     lambda t: (
-        (t.leaf, t.lane, t.split_tw),
+        (t.leaf, t.lane, t.split_tw, t.split_tw_t),
         (t.plan, t.mod, t.fc, t.inverse, t.knobs),
     ),
     PlanTables._unflatten,
@@ -454,17 +484,26 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     mat = run_forward(mat, node.col, tables)  # column NTTs, leading axis m0
     if _mxu_row(node):
-        # mxu row leaf: mid-axis when batched (no transposes); the
-        # no-batch top level goes transpose / leading-axis / transpose --
+        # mxu row leaf with the inter-step twiddle FUSED into the kernel
+        # prologue (reference kernel/recursive.hpp:61-75): one HBM pass
+        # per level instead of twiddle pass + row pass.  Mid-axis when
+        # batched (no transposes); the no-batch top level goes
+        # transpose / leading-axis / transpose with TRANSPOSED tables --
         # the lane-orientation matmul measures ~9x slower on Mosaic while
-        # XLA's transpose costs ~0.1 ms at the 2^24 row-matrix shape
-        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
+        # XLA's transpose costs ~0.1 ms at the 2^24 row-matrix shape.
         t = tables.leaf[node.m1]
+        key = (m0, m1)
         if batch:
-            mat = ntt_mxu.mxu_ntt_mid(mat, t, fc)
+            tw = tables.split_tw.get(key)
+            if tw is None:  # root stored transposed-only; recover
+                tw = _transpose_pair(tables.split_tw_t[key])
+            mat = ntt_mxu.mxu_ntt_mid(mat, t, fc, tw=tw)
         else:
+            twt = tables.split_tw_t.get(key)
+            if twt is None:
+                twt = _transpose_pair(tables.split_tw[key])
             mat = _transpose01(mat, tables.knobs[5])
-            mat = ntt_mxu.mxu_ntt(mat, t, fc)
+            mat = ntt_mxu.mxu_ntt(mat, t, fc, tw=twt)
             mat = _transpose01(mat, tables.knobs[5])
     elif not batch and _lane_row(node) and node.m1 in tables.lane:
         # lane-axis row leaf: transform along axis 1 in place, no transposes,
@@ -508,15 +547,22 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
     batch = x.lo.shape[1:]
     mat = U64(x.hi.reshape((m0, m1) + batch), x.lo.reshape((m0, m1) + batch))
     if _mxu_row(node):
-        # undo row NTTs (mid / transposed lead), then inverse twiddles
+        # undo row NTTs with the inverse inter-step twiddle fused as the
+        # kernel EPILOGUE (mirror of the forward prologue)
         t = tables.leaf[node.m1]
+        key = (m0, m1)
         if batch:
-            mat = ntt_mxu.mxu_ntt_mid(mat, t, fc)
+            tw = tables.split_tw.get(key)
+            if tw is None:
+                tw = _transpose_pair(tables.split_tw_t[key])
+            mat = ntt_mxu.mxu_ntt_mid(mat, t, fc, tw=tw)
         else:
+            twt = tables.split_tw_t.get(key)
+            if twt is None:
+                twt = _transpose_pair(tables.split_tw[key])
             mat = _transpose01(mat, tables.knobs[5])
-            mat = ntt_mxu.mxu_ntt(mat, t, fc)
+            mat = ntt_mxu.mxu_ntt(mat, t, fc, tw=twt)
             mat = _transpose01(mat, tables.knobs[5])
-        mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     elif not batch and _lane_row(node) and node.m1 in tables.lane:
         # undo row NTTs along axis 1; inverse inter-step twiddles fused as
         # the kernel epilogue

@@ -120,7 +120,26 @@ def test_mxu_512_leaf(rng):
 def test_mxu_rejects_oversize():
     mod = Modulus(TEST_MODULUS, TEST_GENERATOR)
     with pytest.raises(ValueError):
-        ntt_mxu.make_mxu_tables(mod, 1024, inverse=False)
+        ntt_mxu.make_mxu_tables(mod, 2 * ntt_mxu.MAX_MXU, inverse=False)
+
+
+@pytest.mark.parametrize("N,g", MODULI)
+def test_mxu_schemes_agree(rng, N, g):
+    """The s8 balanced-digit scheme and the u7 legacy scheme are
+    interchangeable bit-for-bit (same Montgomery-lifted matrix, different
+    plane decomposition)."""
+    mod = Modulus(N, g)
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    m = 128
+    ts = ntt_mxu.make_mxu_tables(mod, m, inverse=False, scheme="s8")
+    tu = ntt_mxu.make_mxu_tables(mod, m, inverse=False, scheme="u7")
+    assert ts.planes.shape == (ntt_mxu.NL_S8 * m, m)
+    assert tu.planes.shape == (ntt_mxu.NL * m, m)
+    x = rng.integers(0, N, (m, 4), dtype=np.uint64)
+    x[:, 0] = N - 1  # maximal magnitudes through the signed planes
+    got_s8 = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), ts, fc))
+    got_u7 = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), tu, fc))
+    np.testing.assert_array_equal(got_s8, got_u7)
 
 
 def test_mxu_small_modulus_f4(rng):
