@@ -24,7 +24,7 @@ therefore NOT comparable across rounds 2 -> 3+.
 
 ROUND-4 BUDGET DISCIPLINE (BENCH_r03 timed out at rc=124 with no number):
 no large host<->device transfers anywhere -- input is generated ON DEVICE
-(iota, like the reference's iota_parallel fill), verification reads back an
+(a full-range splitmix64 fill, utils/fill.py), verification reads back an
 8-byte checksum (sum of normalized output limbs mod 2^32) compared against
 the same checksum of the host oracle, and the streaming-bandwidth
 calibration is cached per device kind (measured once, then a constant).
@@ -191,12 +191,15 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Input generated ON DEVICE: iota, exactly the reference harness's fill
-    # (reference tests/bench-ntt.cpp:28-33 iota_parallel).  All values are
-    # < n <= N, satisfying the reduced-input precondition; no H2D transfer.
-    x = jax.jit(
-        lambda: U64(jnp.zeros((n,), jnp.uint32), jnp.arange(n, dtype=jnp.uint32))
-    )()
+    # Input generated ON DEVICE: a splitmix64 mix of iota masked below N
+    # (utils/fill.py) -- the role of the reference harness's iota fill
+    # (reference tests/bench-ntt.cpp:28-33 iota_parallel) but FULL-RANGE,
+    # so the verification exercises the kernels' high-limb input paths on
+    # real hardware (round-4 advisor finding: iota's high u32 limb is
+    # identically zero).  Reduced-input precondition holds; no H2D.
+    from sventt_tpu.utils.fill import device_fill, host_fill
+
+    x = device_fill(n, cfg.modulus)
 
     # Truthful timing: single-dispatch fori_loop chain, completion forced
     # by readback, flat RTT subtracted (see module docstring).  The step
@@ -249,7 +252,7 @@ def main() -> None:
 
     from sventt_tpu import native
 
-    xv = np.arange(n, dtype=np.uint64)
+    xv = host_fill(n, cfg.modulus)  # bit-identical to the device input
     if native.available():
         want = native.golden_forward(xv, cfg.modulus, cfg.generator)
         ref_hi = int(np.sum((want >> np.uint64(32)).astype(np.uint32),

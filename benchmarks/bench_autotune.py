@@ -48,6 +48,7 @@ CONFIGS = [
     ("blocked-2p24-flagship", 24, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
     ("blocked-2p24-shoup", 24, TEST_MODULUS, TEST_GENERATOR, "auto", "shoup"),
     ("huge-2p26-flagship", 26, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
+    ("huge-2p28-flagship", 28, FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR, "auto", "auto"),
 ]
 
 QUICK = {"sixstep-2p17-flagship"}

@@ -127,22 +127,15 @@ CHAIN_SECONDS = 2.0
 
 
 def _make_input(config: NttConfig):
-    """Deterministic input generated ON DEVICE (iota mod nothing: all
-    values < n <= N satisfy the reduced-input precondition).  A host
-    device_put of the full vector would be a multi-hundred-MB H2D through
-    the tunnel at 2^26+ -- the documented wedge trigger (PERF_NOTES.md)."""
-    import jax
-    import jax.numpy as jnp
+    """Deterministic FULL-RANGE input generated ON DEVICE (splitmix64 mix
+    of iota, masked below N -- covers every data bit-plane including the
+    high u32 limb, which plain iota left identically zero: round-4
+    advisor finding).  A host device_put of the full vector would be a
+    multi-hundred-MB H2D through the tunnel at 2^26+ -- the documented
+    wedge trigger (PERF_NOTES.md)."""
+    from ..utils.fill import device_fill
 
-    from ..field.limb import U64
-
-    n = config.n
-    assert n < (1 << 32)
-    return jax.jit(
-        lambda: U64(
-            jnp.zeros((n,), jnp.uint32), jnp.arange(n, dtype=jnp.uint32)
-        )
-    )()
+    return device_fill(config.n, config.modulus)
 
 
 #: Default XLA persistent-compilation-cache directory for measurement
@@ -405,8 +398,13 @@ def search(
     family: dict[str, tuple[NttConfig, float]] = {}
     for eng in _engine_candidates(base):
         for mm in _modmul_candidates(base):
-            if eng == "mxu" and base.modmul == "auto" and mm != "montgomery":
-                continue  # the matrix engine ignores the stage modmul
+            if eng == "mxu" and base.modmul == "auto" and mm == "shoup":
+                # shoup applies to STAGE twiddles only, which the matrix
+                # engine replaces -- a pure duplicate of montgomery.
+                # solinas is NOT skipped: the inter-step split twiddles
+                # (fused into the mxu kernel) do use it, and its
+                # companion-free tables halve the split-table read.
+                continue
             cand = base.with_(engine=eng, modmul=mm)
             ms = timed(cand, f"{eng}/{mm}")
             if ms < best_ms:
@@ -484,11 +482,12 @@ def search(
     if "mxu" in family:
         best_m, best_m_ms = family["mxu"]
         # plan shape: level size trades matmul cost (~ m) against level
-        # count (the recombination tail is per-point per-level)
-        from ..ops.ntt_mxu import MAX_MXU
-
-        for mf in (64, 128, 256):
-            if mf == (best_m.max_fused or MAX_MXU) or config.n <= mf:
+        # count (the recombination tail is per-point per-level).  The
+        # build_plan default resolves to 512; 1024 is legal (MAX_MXU) and
+        # raced here -- it loses at 2^28 (303 vs 252 ms) but the 2-level
+        # plans it enables at 2^18-2^20 are genuine candidates.
+        for mf in (64, 128, 256, 1024):
+            if mf == (best_m.max_fused or 512) or config.n <= mf:
                 continue
             cand = best_m.with_(max_fused=mf)
             ms = timed(cand, f"mxu/max_fused={mf}")

@@ -74,3 +74,27 @@ def test_phase_breakdown_walks_the_plan():
     )
     bd_p = phase_breakdown(ntt_p, seconds=0.05)
     assert any("inter-step tw" in k for k in bd_p)
+
+
+def test_fill_device_matches_host():
+    """utils/fill: the on-device splitmix64 fill is bit-identical to the
+    numpy host mirror, stays below N, and actually exercises the high u32
+    limb (the round-4 advisor finding against iota inputs)."""
+    import numpy as np
+
+    from sventt_tpu import FLAGSHIP_MODULUS, TEST_MODULUS
+    from sventt_tpu.field.limb import u64_to_numpy
+    from sventt_tpu.utils.fill import device_fill, host_fill
+
+    for N in (FLAGSHIP_MODULUS, TEST_MODULUS, 65537):
+        n = 4096
+        dev = u64_to_numpy(device_fill(n, N))
+        host = host_fill(n, N)
+        np.testing.assert_array_equal(dev, host)
+        assert int(host.max()) < N
+        if N.bit_length() > 33:
+            # the high limb must not be identically zero
+            assert (host >> np.uint64(32)).any()
+            # every bit below the mask width is exercised somewhere
+            orall = int(np.bitwise_or.reduce(host))
+            assert orall == (1 << (N.bit_length() - 1)) - 1
