@@ -1,8 +1,9 @@
 """Distributed six-step benchmark: scaling harness for real pod slices.
 
-Times DistributedNTT forward/inverse over the available mesh, for both
-all-to-all implementations (XLA collective and the Pallas remote-DMA
-ring), against the single-device transform of the same length -- the
+Times DistributedNTT forward/inverse over the available mesh, for all
+three schedules (XLA collective, Pallas remote-DMA ring, and the chunked
+comm/compute-overlap pipeline), against the single-device transform of
+the same length -- the
 measurement SURVEY.md section 2.5.5 asks for (">= 80% scaling
 efficiency"), runnable as-is on a real pod slice.  On this tunnel (one
 chip) and on the CPU mesh it reports correctness-grade numbers only; the
@@ -12,7 +13,7 @@ Emits one JSON row per (n, comm):
   {"n", "devices", "comm", "fwd_ms", "inv_ms", "single_ms",
    "scaling_efficiency"}
 
-Usage: python benchmarks/bench_distributed.py [--n LOG2N] [--comm xla|ring]
+Usage: python benchmarks/bench_distributed.py [--n LOG2N] [--comm xla|ring|overlap]
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ from sventt_tpu.plan import NTT, NttConfig
 def main() -> None:
     argv = sys.argv
     log2n = int(argv[argv.index("--n") + 1]) if "--n" in argv else 18
-    comms = [argv[argv.index("--comm") + 1]] if "--comm" in argv else ["xla", "ring"]
+    comms = [argv[argv.index("--comm") + 1]] if "--comm" in argv else ["xla", "ring", "overlap"]
     n = 1 << log2n
     mesh = make_ntt_mesh()
     D = mesh.devices.size

@@ -70,10 +70,18 @@ class DistributedNTT:
     so neighboring shards live on the same slice.
 
     ``comm`` selects the all-to-all implementation: ``"xla"`` (the
-    `lax.all_to_all` collective) or ``"ring"`` (the Pallas remote-DMA
+    `lax.all_to_all` collective), ``"ring"`` (the Pallas remote-DMA
     rotation ring, parallel/ring.py -- SURVEY.md section 2.5.5's optimized
-    path).  Both are bit-identical; the ring requires the mesh to consist
-    of exactly the collective axes (LOGICAL RDMA ids linearize them).
+    path), or ``"overlap"`` (communication/compute overlap: the column
+    step and [comm 2] are CHUNKED along the independent local column
+    axis, so the collective for chunk c has no data dependency on the
+    compute of chunk c+1 and XLA's async collectives + latency-hiding
+    scheduler run them concurrently on a real pod -- the multi-chip
+    analogue of the reference's single fork-join twiddle fusion,
+    reference kernel/recursive.hpp:61-75).  All are bit-identical; the
+    ring requires the mesh to consist of exactly the collective axes
+    (LOGICAL RDMA ids linearize them).  ``overlap_chunks`` sets the
+    pipeline depth (default 4; 1 degenerates to the "xla" schedule).
     """
 
     def __init__(
@@ -84,6 +92,7 @@ class DistributedNTT:
         enable_forward: bool = True,
         enable_inverse: bool = True,
         comm: str = "xla",
+        overlap_chunks: int = 4,
     ):
         n0, n1 = config.split
         axes = (axis,) if isinstance(axis, str) else tuple(axis)
@@ -92,8 +101,13 @@ class DistributedNTT:
             D *= mesh.shape[a]
         if n0 % D or n1 % D:
             raise ValueError(f"n0={n0}, n1={n1} must be divisible by mesh size {D}")
-        if comm not in ("xla", "ring"):
+        if comm not in ("xla", "ring", "overlap"):
             raise ValueError(f"unknown comm {comm!r}")
+        if comm == "overlap":
+            w2 = n1 // D
+            while overlap_chunks > 1 and w2 % overlap_chunks:
+                overlap_chunks -= 1
+        self.overlap_chunks = overlap_chunks
         if comm == "ring" and (tuple(mesh.axis_names) != axes or len(axes) != 1):
             raise ValueError(
                 "comm='ring' needs a 1-D mesh whose single axis is the "
@@ -208,6 +222,73 @@ class DistributedNTT:
             )
         return _all_to_all(x, self.axes, split_axis, concat_axis)
 
+    # -- comm/compute overlap (comm="overlap") ------------------------------
+    #
+    # The local column axis of the (n0, n1/D) block is embarrassingly
+    # independent for the column NTT (transform axis 0) and the twiddle
+    # multiply, so both pipelines chunk it K ways: the [comm 2] collective
+    # of chunk c has no data dependency on chunk c+1's compute, and XLA's
+    # async collective start/done pairs let its latency-hiding scheduler
+    # run them concurrently ("send shard c while transforming shard c+1"
+    # -- the schedule parallel/ring.py:8-9 promises, realized with XLA
+    # collectives so it is bit-exact on any mesh today and overlaps on a
+    # real pod without further flags).  Total critical path becomes
+    # comm1 + max(colNTT+tw, comm2) + rowNTT instead of their sum.
+
+    def _tw_slice(self, tw, sl):
+        w, wp = tw
+        sub_w = U64(w.hi[:, sl], w.lo[:, sl])
+        sub_wp = None if wp is None else U64(wp.hi[:, sl], wp.lo[:, sl])
+        return sub_w, sub_wp
+
+    def _overlap_fwd_col_comm2(self, mat: U64, tw, col_tables) -> U64:
+        import jax.numpy as jnp
+
+        D, K = self.D, self.overlap_chunks
+        h, w2 = self.n0 // D, self.n1 // D
+        wK = w2 // K
+        parts = []
+        for c in range(K):
+            sl = slice(c * wK, (c + 1) * wK)
+            sub = U64(mat.hi[:, sl], mat.lo[:, sl])
+            sub = planner.run_forward(sub, self._col_plan, col_tables)
+            sub = self._tw_mul(sub, *self._tw_slice(tw, sl))
+            parts.append(
+                self._all_to_all(sub, split_axis=0, concat_axis=1, cid=2 + 2 * c)
+            )
+
+        def reasm(arrs):
+            # chunk c: (h, D*wK), columns grouped by source device o; the
+            # full layout wants column o*w2 + c*wK + i  ->  (h, D, K, wK)
+            s = jnp.stack(arrs, axis=0).reshape(K, h, D, wK)
+            return s.transpose(1, 2, 0, 3).reshape(h, self.n1)
+
+        return U64(reasm([p.hi for p in parts]), reasm([p.lo for p in parts]))
+
+    def _overlap_inv_comm2_col(self, mat: U64, tw, col_tables) -> U64:
+        import jax.numpy as jnp
+
+        D, K = self.D, self.overlap_chunks
+        h, w2 = self.n0 // D, self.n1 // D
+        wK = w2 // K
+        parts = []
+        for c in range(K):
+
+            def pick(a, c=c):
+                return a.reshape(h, D, K, wK)[:, :, c, :].reshape(h, D * wK)
+
+            sub = U64(pick(mat.hi), pick(mat.lo))
+            sub = self._all_to_all(sub, split_axis=1, concat_axis=0, cid=2 + 2 * c)
+            sl = slice(c * wK, (c + 1) * wK)
+            sub = self._tw_mul(sub, *self._tw_slice(tw, sl))
+            parts.append(
+                planner.run_inverse(sub, self._col_plan, col_tables)
+            )
+        return U64(
+            jnp.concatenate([p.hi for p in parts], axis=1),
+            jnp.concatenate([p.lo for p in parts], axis=1),
+        )
+
     # -- local (per-shard) schedules ---------------------------------------
 
     def _row_is_jnp_leaf(self) -> bool:
@@ -223,11 +304,15 @@ class DistributedNTT:
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         # [comm 1] row shards -> column shards: (n0/D, n1) -> (n0, n1/D)
         mat = self._all_to_all(mat, split_axis=1, concat_axis=0, cid=0)
-        # column NTTs: full leading axis n0 is local
-        mat = planner.run_forward(mat, self._col_plan, col_tables)
-        mat = self._tw_mul(mat, w, wp)
-        # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
-        mat = self._all_to_all(mat, split_axis=0, concat_axis=1, cid=2)
+        if self.comm == "overlap":
+            # column NTTs + twiddle + [comm 2], chunked for overlap
+            mat = self._overlap_fwd_col_comm2(mat, (w, wp), col_tables)
+        else:
+            # column NTTs: full leading axis n0 is local
+            mat = planner.run_forward(mat, self._col_plan, col_tables)
+            mat = self._tw_mul(mat, w, wp)
+            # [comm 2] column shards of (n0, n1) -> column shards of (n1, n0)
+            mat = self._all_to_all(mat, split_axis=0, concat_axis=1, cid=2)
         # row NTTs on the (n0/D, n1) shard: a jnp row leaf runs along
         # axis 1 in place (no local transposes -- planner._jnp_mid_chunked,
         # twiddles already applied under the column sharding above)
@@ -254,10 +339,14 @@ class DistributedNTT:
             mat = _transpose01(mat, self.config.transpose)  # (n1, n0/D)
             mat = planner.run_inverse(mat, self._row_plan, row_tables)
             mat = _transpose01(mat, self.config.transpose)  # (n0/D, n1)
-        # undo [comm 2]
-        mat = self._all_to_all(mat, split_axis=1, concat_axis=0, cid=2)
-        mat = self._tw_mul(mat, w, wp)  # undo twiddles
-        mat = planner.run_inverse(mat, self._col_plan, col_tables)
+        if self.comm == "overlap":
+            # undo [comm 2] + twiddles + column NTTs, chunked for overlap
+            mat = self._overlap_inv_comm2_col(mat, (w, wp), col_tables)
+        else:
+            # undo [comm 2]
+            mat = self._all_to_all(mat, split_axis=1, concat_axis=0, cid=2)
+            mat = self._tw_mul(mat, w, wp)  # undo twiddles
+            mat = planner.run_inverse(mat, self._col_plan, col_tables)
         # undo [comm 1]: column shards -> row shards
         mat = self._all_to_all(mat, split_axis=0, concat_axis=1, cid=0)
         return _u64_map(lambda a: a.reshape(n0 // D * n1), mat)
