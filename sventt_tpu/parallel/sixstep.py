@@ -318,7 +318,7 @@ class DistributedNTT:
         # twiddles already applied under the column sharding above)
         if self._row_is_jnp_leaf():
             mat = planner._jnp_mid_chunked(
-                mat, row_tables.leaf[n1], self.fc, None, inverse=False
+                mat, row_tables.leaf[(n1, "jnp")], self.fc, None, inverse=False
             )
         else:
             mat = _transpose01(mat, self.config.transpose)  # -> (n1, n0/D)
@@ -333,7 +333,7 @@ class DistributedNTT:
         mat = _u64_map(lambda a: a.reshape(n0 // D, n1), x)
         if self._row_is_jnp_leaf():
             mat = planner._jnp_mid_chunked(
-                mat, row_tables.leaf[n1], self.fc, None, inverse=True
+                mat, row_tables.leaf[(n1, "jnp")], self.fc, None, inverse=True
             )
         else:
             mat = _transpose01(mat, self.config.transpose)  # (n1, n0/D)

@@ -51,6 +51,7 @@ _DEFAULT_CACHE = Path(__file__).resolve().parents[2] / "autotune_cache.json"
 KNOB_FIELDS = (
     "engine", "modmul", "max_fused", "block_b", "stages_per_call",
     "lane_rows", "max_r", "chunk_elems", "split_w_only", "tw_layout",
+    "plan_spec",
 )
 
 
@@ -94,7 +95,7 @@ def _device_kind() -> str:
 CONSTRAINT_FIELDS = (
     "strategy", "engine", "modmul", "n0", "n1", "lazy",
     "block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems",
-    "split_w_only", "max_r", "tw_layout",
+    "split_w_only", "max_r", "tw_layout", "plan_spec",
 )
 
 
@@ -336,6 +337,30 @@ JNP_KNOB_GRID = (
 )
 
 
+def _plan_spec_candidates(n: int) -> tuple[str, ...]:
+    """Mixed-engine plan shapes raced for the mxu family at huge n
+    (NttConfig.plan_spec): alternative level factorizations and jnp
+    column leaves over an mxu backbone."""
+    log2n = n.bit_length() - 1
+    if log2n == 26:
+        return (
+            "mxu:512,mxu:512,jnp",   # jnp 2^8 column leaf
+            "mxu:512,jnp",           # 2-level: jnp 2^17 chunked col leaf
+            "mxu:1024,mxu:1024,mxu",  # 3-level, bigger rows, 2^6 leaf
+        )
+    if log2n == 28:
+        return (
+            "mxu:512,mxu:512,jnp",      # 3-level, jnp 2^10 column leaf
+            "mxu:1024,mxu:512,mxu",     # 3-level, 2^9 mxu leaf
+            "mxu:256,mxu:256,mxu:256,mxu",  # 4-level, 2^4 leaf
+        )
+    if log2n == 24:
+        return (
+            "mxu:512,mxu:512,mxu",      # 2^6 leaf vs the default 2^8^3
+        )
+    return ()
+
+
 def search(
     config: NttConfig, seconds: float | None = None
 ) -> tuple[NttConfig, float, dict[str, float]]:
@@ -493,6 +518,13 @@ def search(
             ms = timed(cand, f"mxu/max_fused={mf}")
             if ms < best_m_ms:
                 best_m, best_m_ms = cand, ms
+        # mixed-engine plan trees (explicit level factorizations)
+        if base.plan_spec is None:
+            for spec in _plan_spec_candidates(config.n):
+                cand = best_m.with_(plan_spec=spec, max_fused=None)
+                ms = timed(cand, f"mxu/plan={spec}")
+                if ms < best_m_ms:
+                    best_m, best_m_ms = cand, ms
         # the split-table companion knob applies to every engine family
         if best_m.split_w_only is None and config.n > config.ITERATIVE_MAX:
             from .planner import W_ONLY_THRESHOLD

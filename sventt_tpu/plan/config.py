@@ -89,6 +89,16 @@ class NttConfig:
     #: benchmarks/bench_transpose.py is the measurement corpus (the
     #: reference's bench-transpose role, tests/bench-transpose.cpp:105-499).
     transpose: str = "auto"
+    #: Explicit MIXED-ENGINE plan tree, overriding strategy/engine/
+    #: max_fused plan construction: a comma list, top-down -- every
+    #: element but the last is ``engine:m1`` (one Split level whose ROW
+    #: leaf uses that engine at length m1), the last is a bare engine
+    #: name for the final column leaf.  E.g. ``"mxu:512,mxu:512,jnp"``
+    #: at n = 2^26 = Split(2^26, 2^17, 512-mxu) -> Split(2^17, 2^8,
+    #: 512-mxu) -> Leaf(2^8, jnp).  The TPU analogue of the reference's
+    #: freely-mixed layer lists in one kernel type expression (reference
+    #: tests/ntt-tests/recursive-sve-radix248-two13.hpp); autotunable.
+    plan_spec: str | None = None
     #: Resolve knobs via the measure-and-cache autotuner at NTT build time.
     tune: bool = False
 
@@ -137,6 +147,10 @@ class NttConfig:
             n0, n1 = self.split
             if n0 * n1 != self.n or not (_is_pow2(n0) and _is_pow2(n1)):
                 raise ValueError("n0 * n1 must equal n (powers of two)")
+        if self.plan_spec is not None:
+            from . import planner
+
+            planner.build_plan_spec(self.n, self.plan_spec)  # validates
 
     @property
     def mod(self) -> Modulus:

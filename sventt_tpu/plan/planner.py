@@ -171,6 +171,63 @@ def build_plan(n: int, engine: str, max_fused: int | None = None) -> "Leaf | Spl
     )
 
 
+def build_plan_spec(n: int, spec: str) -> "Leaf | Split":
+    """Explicit MIXED-ENGINE plan tree from a compact spec string.
+
+    ``spec`` is a comma list, top-down: every element but the last is
+    ``engine:m1`` -- one Split level whose ROW leaf uses that engine at
+    length m1 -- and the last is a bare engine name for the final column
+    leaf (its length is whatever remains).  Engines may differ per level
+    (the reference mixes layer types freely inside one kernel type
+    expression, reference tests/ntt-tests/recursive-sve-radix248-two13.hpp);
+    every node still emits bit-reversed order, so mixed trees stay
+    bit-compatible with the golden model by the same induction as
+    build_plan's uniform trees.
+
+    Example: ``build_plan_spec(1 << 26, "mxu:512,mxu:512,jnp")``.
+    """
+    caps = {
+        "jnp": 1 << 22,
+        "pallas": ntt_pallas.MAX_FUSED,
+        "mxu": ntt_mxu.MAX_MXU,
+    }
+
+    def leaf(m: int, engine: str) -> Leaf:
+        if engine not in caps:
+            raise ValueError(f"plan_spec: unknown engine {engine!r}")
+        if m > caps[engine]:
+            raise ValueError(
+                f"plan_spec: leaf m={m} exceeds the {engine} cap {caps[engine]}"
+            )
+        return Leaf(m, engine)
+
+    def rec(n: int, parts: list[str]):
+        head, rest = parts[0], parts[1:]
+        if not rest:
+            if ":" in head:
+                raise ValueError(
+                    "plan_spec: the last element is the column LEAF -- a "
+                    f"bare engine name, got {head!r}"
+                )
+            return leaf(n, head)
+        if ":" not in head:
+            raise ValueError(
+                f"plan_spec: split levels need 'engine:m1', got {head!r}"
+            )
+        engine, m1s = head.split(":", 1)
+        m1 = int(m1s)
+        if m1 < 2 or m1 & (m1 - 1) or n % m1 or m1 >= n:
+            raise ValueError(
+                f"plan_spec: m1={m1} must be a power of two dividing n={n}"
+            )
+        return Split(n, n // m1, m1, rec(n // m1, rest), leaf(m1, engine))
+
+    parts = [p.strip() for p in spec.split(",") if p.strip()]
+    if not parts:
+        raise ValueError("plan_spec: empty spec")
+    return rec(n, parts)
+
+
 class PlanTables:
     """Device twiddle tables for every node of a plan, one direction.
 
@@ -223,7 +280,7 @@ class PlanTables:
 
     def _prepare(self, node, root: bool = False):
         if isinstance(node, Leaf):
-            if node.m in self.leaf:
+            if (node.m, node.engine) in self.leaf:
                 return
             modmul = self.fc.modmul
             if node.engine == "pallas":
@@ -241,7 +298,7 @@ class PlanTables:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)
             else:
                 t = forward_tables(self.mod, node.m, modmul=modmul)
-            self.leaf[node.m] = t
+            self.leaf[(node.m, node.engine)] = t
         else:
             key = (node.m0, node.m1)
             if root and _mxu_row(node):
@@ -296,7 +353,10 @@ def _mid_row(node, tables) -> bool:
         isinstance(node, Split)
         and isinstance(node.row, Leaf)
         and node.row.engine == "pallas"
-        and isinstance(tables.leaf.get(node.row.m), ntt_pallas.FusedDirection)
+        and isinstance(
+            tables.leaf.get((node.row.m, "pallas")),
+            ntt_pallas.FusedDirection,
+        )
     )
 
 
@@ -473,7 +533,7 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
     """Length-m DIF NTT along the leading axis (bit-reversed output)."""
     fc = tables.fc
     if isinstance(node, Leaf):
-        t = tables.leaf[node.m]
+        t = tables.leaf[(node.m, node.engine)]
         if node.engine == "pallas":
             return ntt_pallas.fused_ntt(x, t, fc)
         if node.engine == "mxu":
@@ -491,7 +551,7 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         # transpose / leading-axis / transpose with TRANSPOSED tables --
         # the lane-orientation matmul measures ~9x slower on Mosaic while
         # XLA's transpose costs ~0.1 ms at the 2^24 row-matrix shape.
-        t = tables.leaf[node.m1]
+        t = tables.leaf[(node.m1, "mxu")]
         key = (m0, m1)
         if batch:
             tw = tables.split_tw.get(key)
@@ -515,12 +575,14 @@ def run_forward(x: U64, node, tables: PlanTables) -> U64:
         # middle-axis row leaf: transform along axis 1 in place (batched
         # splits / inner levels), no transposes
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
-        mat = ntt_pallas.fused_ntt_mid(mat, tables.leaf[node.m1], fc)
+        mat = ntt_pallas.fused_ntt_mid(
+            mat, tables.leaf[(node.m1, "pallas")], fc
+        )
     elif _jnp_row(node):
         # jnp middle-axis row leaf: twiddles fused into VMEM-resident
         # chunks, no transposes
         mat = _jnp_mid_chunked(
-            mat, tables.leaf[node.m1], fc, tables.split_tw[(m0, m1)],
+            mat, tables.leaf[(node.m1, "jnp")], fc, tables.split_tw[(m0, m1)],
             inverse=False, chunk_elems=tables.knobs[3],
         )
     else:
@@ -537,7 +599,7 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
     """Mirror of run_forward (reference kernel/recursive.hpp:116-139)."""
     fc = tables.fc
     if isinstance(node, Leaf):
-        t = tables.leaf[node.m]
+        t = tables.leaf[(node.m, node.engine)]
         if node.engine == "pallas":
             return ntt_pallas.fused_ntt(x, t, fc)
         if node.engine == "mxu":
@@ -549,7 +611,7 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
     if _mxu_row(node):
         # undo row NTTs with the inverse inter-step twiddle fused as the
         # kernel EPILOGUE (mirror of the forward prologue)
-        t = tables.leaf[node.m1]
+        t = tables.leaf[(node.m1, "mxu")]
         key = (m0, m1)
         if batch:
             tw = tables.split_tw.get(key)
@@ -571,12 +633,14 @@ def run_inverse(x: U64, node, tables: PlanTables) -> U64:
         )
     elif batch and _mid_row(node, tables):
         # undo row NTTs along axis 1 in place, then inverse twiddles
-        mat = ntt_pallas.fused_ntt_mid(mat, tables.leaf[node.m1], fc)
+        mat = ntt_pallas.fused_ntt_mid(
+            mat, tables.leaf[(node.m1, "pallas")], fc
+        )
         mat = _mont_mul_bcast(fc, mat, tables.split_tw[(m0, m1)], len(batch))
     elif _jnp_row(node):
         # undo row NTTs along axis 1, inverse twiddles fused per chunk
         mat = _jnp_mid_chunked(
-            mat, tables.leaf[node.m1], fc, tables.split_tw[(m0, m1)],
+            mat, tables.leaf[(node.m1, "jnp")], fc, tables.split_tw[(m0, m1)],
             inverse=True, chunk_elems=tables.knobs[3],
         )
     else:

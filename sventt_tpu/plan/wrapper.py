@@ -112,6 +112,9 @@ class NTT:
 
     def _build_plan(self):
         cfg = self.config
+        if cfg.plan_spec is not None:
+            # explicit mixed-engine tree overrides strategy/engine/max_fused
+            return planner.build_plan_spec(cfg.n, cfg.plan_spec)
         if cfg.strategy == "auto":
             # Planner picks the factorization (fewest near-equal levels).
             return planner.build_plan(cfg.n, self.engine, cfg.max_fused)

@@ -83,13 +83,15 @@ def phase_breakdown(ntt, seconds: float = 1.0, seed: int = 0) -> dict[str, float
     while isinstance(node, planner.Split):
         m0, m1 = node.m0, node.m1
         shape = (m0, m1) + batch
-        tw = tabs.split_tw[(m0, m1)]
+        tw = tabs.split_tw.get((m0, m1))
+        if tw is None:  # root mxu-row nodes store transposed-only tables
+            tw = planner._transpose_pair(tabs.split_tw_t[(m0, m1)])
         if planner._jnp_row(node):
             f = lambda v, t, tw: planner._jnp_mid_chunked(  # noqa: E731
                 v, t, fc, tw, inverse=False, chunk_elems=tabs.knobs[3]
             )
             out[f"level{level}.rows m1={m1} (+tw, fused chunks)"] = chain(
-                f, dev(shape), tabs.leaf[m1], tw
+                f, dev(shape), tabs.leaf[(m1, "jnp")], tw
             )
         else:
             # pallas lane/mid rows or the transposed fallback: time the
