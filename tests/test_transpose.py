@@ -79,3 +79,21 @@ def test_transpose_knob_wired_into_fallback_path(rng):
     want = NTT(base).forward_numpy(x)
     got = NTT(base.with_(transpose="pallas")).forward_numpy(x)
     np.testing.assert_array_equal(got, want)
+
+
+def test_transpose_pallas_pair_rect(rng):
+    """The single pair-kernel (both limb planes, rectangular tiles) is
+    exact -- the round-5 replacement for two per-plane kernels."""
+    import numpy as np
+
+    from sventt_tpu.field.limb import U64
+    from sventt_tpu.ops.transpose import _transpose_pallas_pair
+
+    x = U64(
+        rng.integers(0, 1 << 32, (64, 512), dtype=np.uint32),
+        rng.integers(0, 1 << 32, (64, 512), dtype=np.uint32),
+    )
+    for br, bc in [(64, 512), (8, 512), (64, 256), (32, 128)]:
+        oh, ol = _transpose_pallas_pair(x.hi, x.lo, br, bc)
+        np.testing.assert_array_equal(np.asarray(oh), np.asarray(x.hi).T)
+        np.testing.assert_array_equal(np.asarray(ol), np.asarray(x.lo).T)
