@@ -525,6 +525,15 @@ def search(
                 ms = timed(cand, f"mxu/plan={spec}")
                 if ms < best_m_ms:
                     best_m, best_m_ms = cand, ms
+        # lane-tile width of the matrix kernels (must be a multiple of
+        # 128: Mosaic's trailing block-dim constraint)
+        for bb in (256, 512):
+            if bb == (best_m.block_b or 128):
+                continue
+            cand = best_m.with_(block_b=bb)
+            ms = timed(cand, f"mxu/block_b={bb}")
+            if ms < best_m_ms:
+                best_m, best_m_ms = cand, ms
         # the split-table companion knob applies to every engine family
         if best_m.split_w_only is None and config.n > config.ITERATIVE_MAX:
             from .planner import W_ONLY_THRESHOLD

@@ -293,6 +293,7 @@ class PlanTables:
             elif node.engine == "mxu":
                 t = ntt_mxu.make_mxu_tables(
                     self.mod, node.m, inverse=self.inverse,
+                    block_b=self.knobs[0],
                 )
             elif self.inverse:
                 t = inverse_tables(self.mod, node.m, modmul=modmul)
