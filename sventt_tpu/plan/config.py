@@ -83,11 +83,13 @@ class NttConfig:
     #: (reference layer/sve/radix-two.hpp:96-138).
     split_w_only: bool | None = None
     #: Transpose strategy for fallback split levels and distributed local
-    #: steps ("auto" = XLA; "pallas" = the blocked VMEM-tile kernel,
-    #: ops/transpose.py).  The default schedules are transpose-free, so
-    #: this only bites on deep row subtrees / non-jnp distributed rows;
-    #: benchmarks/bench_transpose.py is the measurement corpus (the
-    #: reference's bench-transpose role, tests/bench-transpose.cpp:105-499).
+    #: steps.  "auto"/"xla" only: the blocked Pallas alternative (kept in
+    #: ops/transpose.py as the benchmarks/bench_transpose.py corpus, the
+    #: reference's bench-transpose role, tests/bench-transpose.cpp:105-499)
+    #: lost to XLA at EVERY measured shape even as a single pair-kernel
+    #: with rectangular tiles (round-5 sweep: best 2354 vs 2806 GB/s at
+    #: 1024^2, 3-6x behind at the skewed six-step shapes), so it is not a
+    #: public knob.  The default schedules are transpose-free anyway.
     transpose: str = "auto"
     #: Explicit MIXED-ENGINE plan tree, overriding strategy/engine/
     #: max_fused plan construction: a comma list, top-down -- every
@@ -129,8 +131,12 @@ class NttConfig:
                     "solinas modmul requires a sparse-high modulus "
                     "N = 2^64 - (c*2^s - 1), bit_width(c*2^s) <= 42"
                 )
-        if self.transpose not in ("auto", "xla", "pallas"):
-            raise ValueError(f"unknown transpose strategy {self.transpose!r}")
+        if self.transpose not in ("auto", "xla"):
+            raise ValueError(
+                f"unknown transpose strategy {self.transpose!r} (the blocked "
+                "pallas transpose lost to XLA at every measured shape and "
+                "lives in benchmarks/bench_transpose.py only)"
+            )
         for name in ("block_b", "stages_per_call", "lane_rows", "max_fused", "chunk_elems"):
             v = getattr(self, name)
             if v is not None and (v < 1 or (name != "stages_per_call" and not _is_pow2(v))):
