@@ -58,113 +58,123 @@ def _combined_index(axes: tuple[str, ...]):
 
 
 def _ring_kernel(D: int, axes: tuple[str, ...]):
-    """Canonical (D, R, C) all-to-all kernel body."""
+    """Canonical (D, R, C) all-to-all kernel body, BOTH limb planes in one
+    kernel (round-4 review: per-plane kernels doubled launches and needed
+    the fragile even/odd collective_id convention; one kernel interleaves
+    the hi/lo RDMAs on the same links under one barrier)."""
 
-    def kernel(x_ref, o_ref, local_sem, send_sems, recv_sems):
+    def kernel(xh_ref, xl_ref, oh_ref, ol_ref, local_sem, send_sems, recv_sems):
         me = _combined_index(axes)
+        pairs = ((0, xh_ref, oh_ref), (1, xl_ref, ol_ref))
         # own slab: plain local DMA into its output slot
-        local = pltpu.make_async_copy(
-            x_ref.at[me], o_ref.at[me], local_sem
-        )
-        local.start()
+        locals_ = []
+        for p, x_ref, o_ref in pairs:
+            local = pltpu.make_async_copy(
+                x_ref.at[me], o_ref.at[me], local_sem.at[p]
+            )
+            local.start()
+            locals_.append(local)
         # rotation ring: step s exchanges with neighbors at distance s.
-        # The schedule is symmetric, so waiting my own (send, recv) slot-s
-        # semaphores drains both my outgoing DMA and the incoming one from
-        # device (me - s) mod D, which used the same slot.
+        # The schedule is symmetric, so waiting my own (send, recv) slot-
+        # (p, s) semaphores drains both my outgoing DMA and the incoming
+        # one from device (me - s) mod D, which used the same slot.
         rdmas = []
         for s in range(1, D):
             dst = jax.lax.rem(me + s, D)
-            rdma = pltpu.make_async_remote_copy(
-                src_ref=x_ref.at[dst],
-                dst_ref=o_ref.at[me],
-                send_sem=send_sems.at[s],
-                recv_sem=recv_sems.at[s],
-                device_id=dst,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-            rdma.start()
-            rdmas.append(rdma)
-        local.wait()
+            for p, x_ref, o_ref in pairs:
+                rdma = pltpu.make_async_remote_copy(
+                    src_ref=x_ref.at[dst],
+                    dst_ref=o_ref.at[me],
+                    send_sem=send_sems.at[p, s],
+                    recv_sem=recv_sems.at[p, s],
+                    device_id=dst,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                rdma.start()
+                rdmas.append(rdma)
+        for local in locals_:
+            local.wait()
         for rdma in rdmas:
             rdma.wait()
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _canonical_all_to_all(
-    x: jnp.ndarray, D: int, axes: tuple[str, ...], collective_id: int
+    xh: jnp.ndarray, xl: jnp.ndarray, D: int, axes: tuple[str, ...],
+    collective_id: int,
 ):
-    """(D, R, C) slab exchange: out[o] = slab x[me] as held on device o."""
+    """(D, R, C) slab exchange of the limb PAIR: out[o] = slab x[me] as
+    held on device o, hi and lo moved by one kernel."""
     # NOTE: the enclosing shard_map must pass check_vma=False -- vma
     # tracking cannot type a pallas_call whose inputs already vary over the
     # mesh axes (jax 0.9 interpret path pvaries them a second time).
     return pl.pallas_call(
         _ring_kernel(D, axes),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, xh.dtype)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((D,)),
-            pltpu.SemaphoreType.DMA((D,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, D)),
+            pltpu.SemaphoreType.DMA((2, D)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=collective_id
         ),
         interpret=_use_interpret(),
-    )(x)
-
-
-def ring_all_to_all_array(
-    a: jnp.ndarray, axes: tuple[str, ...], split_axis: int, concat_axis: int,
-    D: int, collective_id: int = 0,
-) -> jnp.ndarray:
-    """`jax.lax.all_to_all(a, axes, split_axis, concat_axis, tiled=True)`
-    computed by the remote-DMA ring kernel.  2-D local arrays only (the
-    six-step schedule's case); call inside shard_map over ``axes``.
-    """
-    if a.ndim != 2:
-        raise ValueError(f"ring all-to-all supports 2-D local arrays, got {a.ndim}-D")
-    r, c = a.shape
-    if split_axis == 1 and concat_axis == 0:
-        # (r, c) -> (D*r, c/D): chunk j of columns goes to device j
-        w = c // D
-        slabs = a.reshape(r, D, w).transpose(1, 0, 2)  # (D, r, w)
-        out = _canonical_all_to_all(slabs, D, axes, collective_id)
-        return out.reshape(D * r, w)
-    if split_axis == 0 and concat_axis == 1:
-        # (r, c) -> (r/D, D*c): chunk j of rows goes to device j
-        h = r // D
-        slabs = a.reshape(D, h, c)
-        out = _canonical_all_to_all(slabs, D, axes, collective_id)
-        return out.transpose(1, 0, 2).reshape(h, D * c)
-    raise ValueError(f"unsupported (split_axis={split_axis}, concat_axis={concat_axis})")
+    )(xh, xl)
 
 
 def ring_all_to_all(
     x: U64, axes: str | tuple[str, ...], split_axis: int, concat_axis: int,
     collective_id: int = 0,
 ) -> U64:
-    """U64 wrapper with the same signature shape as parallel.sixstep's
-    XLA `_all_to_all` (drop-in selectable via DistributedNTT(comm=...)).
+    """`jax.lax.all_to_all(..., tiled=True)` semantics on a U64 limb pair,
+    computed by the remote-DMA ring kernel -- the drop-in alternative to
+    parallel.sixstep's XLA `_all_to_all` (DistributedNTT(comm="ring")).
+    2-D local arrays only (the six-step schedule's case); call inside
+    shard_map over ``axes``.
 
-    The hi and lo limb exchanges are independent back-to-back collective
-    kernels; each pallas_call in flight needs its OWN collective_id (a
-    fast device could otherwise start the lo kernel while a laggard still
-    waits inside hi, and slot-s RDMA signals from the two kernels could
-    cross-match on the shared semaphore namespace).  A call site that
-    issues several logical all-to-alls in one program must likewise pass
-    distinct even ``collective_id`` values (this function uses id and
-    id+1).
+    Both limb planes move in ONE collective kernel (one collective_id,
+    one barrier, interleaved RDMAs) -- the round-4 review flagged the
+    previous per-plane kernels' even/odd collective_id convention as
+    doubled launches and semaphore bookkeeping.  A call site issuing
+    several logical all-to-alls in one program still passes distinct
+    ``collective_id`` values, now one per LOGICAL exchange.
     """
     axes = (axes,) if isinstance(axes, str) else tuple(axes)
     D = 1
     for a in axes:
         D *= jax.lax.axis_size(a)
-    return U64(
-        ring_all_to_all_array(x.hi, axes, split_axis, concat_axis, D,
-                              collective_id),
-        ring_all_to_all_array(x.lo, axes, split_axis, concat_axis, D,
-                              collective_id + 1),
+    if x.lo.ndim != 2:
+        raise ValueError(
+            f"ring all-to-all supports 2-D local arrays, got {x.lo.ndim}-D"
+        )
+    r, c = x.lo.shape
+    if split_axis == 1 and concat_axis == 0:
+        # (r, c) -> (D*r, c/D): chunk j of columns goes to device j
+        w = c // D
+
+        def to_slabs(a):
+            return a.reshape(r, D, w).transpose(1, 0, 2)  # (D, r, w)
+
+        oh, ol = _canonical_all_to_all(
+            to_slabs(x.hi), to_slabs(x.lo), D, axes, collective_id
+        )
+        return U64(oh.reshape(D * r, w), ol.reshape(D * r, w))
+    if split_axis == 0 and concat_axis == 1:
+        # (r, c) -> (r/D, D*c): chunk j of rows goes to device j
+        h = r // D
+        oh, ol = _canonical_all_to_all(
+            x.hi.reshape(D, h, c), x.lo.reshape(D, h, c), D, axes,
+            collective_id,
+        )
+        return U64(
+            oh.transpose(1, 0, 2).reshape(h, D * c),
+            ol.transpose(1, 0, 2).reshape(h, D * c),
+        )
+    raise ValueError(
+        f"unsupported (split_axis={split_axis}, concat_axis={concat_axis})"
     )

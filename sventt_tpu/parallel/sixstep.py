@@ -215,8 +215,8 @@ class DistributedNTT:
         if self.comm == "ring":
             from .ring import ring_all_to_all
 
-            # distinct collective_ids per logical all-to-all (cid, cid+1
-            # cover the hi/lo limb kernels): see ring_all_to_all docstring
+            # one collective_id per LOGICAL all-to-all (both limb planes
+            # move in a single kernel): see ring_all_to_all docstring
             return ring_all_to_all(
                 x, self.axes, split_axis, concat_axis, collective_id=cid
             )

@@ -17,7 +17,8 @@ from jax.sharding import PartitionSpec as P
 from sventt_tpu import TEST_GENERATOR, TEST_MODULUS
 from sventt_tpu.field.limb import u64_from_numpy, u64_to_numpy
 from sventt_tpu.parallel import DistributedNTT, make_ntt_mesh
-from sventt_tpu.parallel.ring import ring_all_to_all_array
+from sventt_tpu.field.limb import U64
+from sventt_tpu.parallel.ring import ring_all_to_all
 from sventt_tpu.plan import NTT, NttConfig
 
 
@@ -30,8 +31,11 @@ def mesh():
 def test_ring_matches_xla_collective(mesh, rng, split, concat):
     D = 8
     r, c = 16, 64  # local shard shape; both divisible by D
-    x = jnp.asarray(
-        rng.integers(0, 1 << 32, (D * r, c), dtype=np.uint64).astype(np.uint32)
+    x = U64(
+        jnp.asarray(rng.integers(0, 1 << 32, (D * r, c), dtype=np.uint64)
+                    .astype(np.uint32)),
+        jnp.asarray(rng.integers(0, 1 << 32, (D * r, c), dtype=np.uint64)
+                    .astype(np.uint32)),
     )
 
     @jax.jit
@@ -40,18 +44,24 @@ def test_ring_matches_xla_collective(mesh, rng, split, concat):
         check_vma=False,
     )
     def via_ring(a):
-        return ring_all_to_all_array(a, ("shard",), split, concat, D)
+        # one kernel moves BOTH limb planes (single collective_id)
+        return ring_all_to_all(a, ("shard",), split, concat)
 
     @jax.jit
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P("shard"), out_specs=P("shard")
     )
     def via_xla(a):
-        return jax.lax.all_to_all(
-            a, "shard", split_axis=split, concat_axis=concat, tiled=True
-        )
+        return U64(*(
+            jax.lax.all_to_all(
+                v, "shard", split_axis=split, concat_axis=concat, tiled=True
+            )
+            for v in a
+        ))
 
-    np.testing.assert_array_equal(np.asarray(via_ring(x)), np.asarray(via_xla(x)))
+    got, want = via_ring(x), via_xla(x)
+    np.testing.assert_array_equal(np.asarray(got.hi), np.asarray(want.hi))
+    np.testing.assert_array_equal(np.asarray(got.lo), np.asarray(want.lo))
 
 
 @pytest.mark.parametrize("n", [1 << 12, 1 << 18])
