@@ -45,15 +45,20 @@ def _resolve_modmul(config: NttConfig) -> str:
 
 
 def _resolve_engine(engine: str) -> str:
-    """'auto' -> jnp: the batch-chunked VMEM-resident XLA path wins at
-    every measured size once each chunk's stage chain stays in VMEM
-    (round 2: 2^24 forward 0.38 ms jnp-chunked vs 27.4 ms pallas -- XLA
-    keeps the whole limb chain in registers where Mosaic materializes
-    ~600 B/butterfly through VMEM).  The fused pallas engine stays
-    selectable and autotunable."""
+    """'auto' -> the MXU matrix engine on TPU, jnp elsewhere.
+
+    The round-5 tuned corpus has mxu winning EVERY measured config
+    2^10-2^28 on both moduli and both directions (BENCH_RESULTS.md), so
+    untuned TPU configs -- sizes without an autotune_cache entry -- now
+    default to the winner too.  Off-TPU (tests, CPU sim) the portable
+    XLA engine remains the default: interpret-mode matrix kernels are
+    correctness-grade only.  jnp/pallas stay selectable and autotunable.
+    """
     if engine != "auto":
         return engine
-    return "jnp"
+    import jax
+
+    return "mxu" if jax.default_backend() == "tpu" else "jnp"
 
 
 class NTT:
