@@ -42,7 +42,7 @@ def test_knobs_reach_kernels_bit_exact(rng):
     assert list(map(int, out)) == want
     assert (ntt.inverse_numpy(out) == x).all()
     # knobs actually reached the prepared tables
-    leaf = ntt._fwd_tables.leaf[16]
+    leaf = ntt._fwd_tables.leaf[(16, "pallas")]
     assert leaf.block_b == 128 and leaf.spc == 2
 
 
