@@ -155,6 +155,45 @@ def test_mxu_rejects_oversize():
         ntt_mxu.make_mxu_tables(mod, 2 * ntt_mxu.MAX_MXU, inverse=False)
 
 
+def test_balanced8_digits_exact():
+    """The scalar balanced-digit reference (_balanced8) is exact across
+    its completeness range [-128K, 127K] (K = (2^64-1)/255), including
+    both endpoints and the minimal residues of every shipped modulus --
+    the property the vectorized table builder relies on."""
+    K = ntt_mxu._K8
+    # note: (1 << 63) - 1 > C8_PLUS = 127K -- positive capacity ends
+    # BELOW 2^63, which is exactly why minimal residues near +N/2 of
+    # 64-bit moduli must take the negative representative
+    cases = [0, 1, -1, 127 * K, -128 * K, 127 * K - 1, -128 * K + 1,
+             -(1 << 63), 12345678901234567]
+    for N, _ in [(TEST_MODULUS, None), (FLAGSHIP_MODULUS, None)]:
+        for v in (N - 1, N // 2, (N + 1) // 2):
+            r = v if v <= ntt_mxu.C8_PLUS else v - N
+            cases.append(r)
+    for r in cases:
+        ds = ntt_mxu._balanced8(r)
+        assert len(ds) == 8 and all(-128 <= d <= 127 for d in ds)
+        assert sum(d << (8 * a) for a, d in enumerate(ds)) == r
+    for bad in (127 * K + 1, -128 * K - 1):
+        with pytest.raises(AssertionError):
+            ntt_mxu._balanced8(bad)
+
+
+def test_vectorized_digits_match_scalar_reference():
+    """make_mxu_tables' vectorized digit extraction equals the scalar
+    _balanced8 on a real table (both directions, 64-bit modulus)."""
+    mod = Modulus(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR)
+    t = ntt_mxu.make_mxu_tables(mod, 16, inverse=True)
+    planes = np.asarray(t.planes)  # (8*16, 16) int8
+    # reconstruct each matrix entry from its digit planes and check the
+    # scalar decomposition of that value round-trips to the same digits
+    for p in range(16):
+        for j in range(16):
+            ds = [int(planes[a * 16 + p, j]) for a in range(8)]
+            r = sum(d << (8 * a) for a, d in enumerate(ds))
+            assert ntt_mxu._balanced8(r) == ds
+
+
 @pytest.mark.parametrize("N,g", MODULI)
 def test_mxu_schemes_agree(rng, N, g):
     """The s8 balanced-digit scheme and the u7 legacy scheme are
