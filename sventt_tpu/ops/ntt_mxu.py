@@ -23,8 +23,9 @@ Mechanics -- two plane schemes, selected by ``scheme``:
   planes P_t = sum_{a+b=t}; the identity
       sum_j r[p,j] * x_j = sum_t P_t * 2^(8t) + 128*K8*rowsum_p
   (K8 = 0x0101010101010101) folds ALL offset corrections into one
-  precomputed per-row constant, which also absorbs the +2^26 bias that
-  makes each plane non-negative before the u32 word accumulation.
+  precomputed per-row constant, which also absorbs the +m<<17 bias
+  (the exact worst-case |P_t|) that makes each plane non-negative
+  before the u32 word accumulation.
   Versus "u7": 64 vs 100 MAC plane-pairs, 15 vs 19 recombination planes,
   byte-aligned extraction (no bit-straddle shifts) -- the recombination
   tail dominates the level cost (PERF_NOTES.md round-4 phase breakdown),
@@ -40,11 +41,12 @@ Montgomery REDC (companion computed from the low 64 bits) lands in
 canonical [0, N).
 
 Exactness bounds (s8): |d_a * s_b| <= 2^14; each output plane sums over
-j (m terms) and at most 8 (a,b) pairs: |P_t| <= 8 * 512 * 2^14 = 2^26 --
-int32-safe after the +2^26 bias (u7: m * NL * 127^2 < 2^27).  The 6-word
-accumulator holds the exact non-negative integer (< 2^140 at m = 512);
-fold + REDC reduce any value < 2^192 correctly (REDC needs T_hi < N
-after the fold -- see the Barrett/conditional-subtract step).
+j (m terms) and at most 8 (a,b) pairs: |P_t| <= 8 * m * 2^14 = m << 17
+-- int32-safe after the m-dependent +m<<17 bias (2^27 at the MAX_MXU
+m = 1024; u7: m * NL * 127^2 < 2^31).  The 6-word accumulator holds the
+exact non-negative integer (< 2^142 at m = 1024); fold + REDC reduce
+any value < 2^192 correctly (REDC needs T_hi < N after the fold -- see
+the Barrett/conditional-subtract step).
 
 MEASURED (round 4, truthful chains, u7 scheme): one 128-point level over
 2^22 points = 0.653 ms all-inclusive (decompose + matmuls + recombine +
@@ -84,6 +86,7 @@ from ..field.limb import (
     u64_sub,
 )
 from ..field.modulus import Modulus
+from .twiddle import montpair_map
 
 #: 7-bit limb planes per u64 for the "u7" scheme (10 * 7 = 70 >= 64 bits).
 NL = 10
@@ -128,10 +131,6 @@ def _balanced8(r: int) -> list[int]:
 #: 16 MB stack rejects their 23.3 MB of int32 product planes; the chip
 #: has 128 MB of VMEM).
 MXU_BLOCK_B = 128
-
-
-def _default_block_b(m: int) -> int:
-    return MXU_BLOCK_B
 
 
 def _compiler_params(m: int, block_b: int):
@@ -227,7 +226,9 @@ def make_mxu_tables(
             r = (r - d) >> 8  # exact: r - d divisible by 256
         assert not r.any(), "residue outside the 8-digit balanced range"
         planes_np = np.concatenate(digs, axis=0)
-        ofs_total = (1 << 26) * sum(1 << (8 * t) for t in range(15))
+        # per-plane bias m << 17 == the exact worst-case |P_t| (see
+        # _mxu_body); must match the kernel's literal
+        ofs_total = (m << 17) * sum(1 << (8 * t) for t in range(15))
         rowsums = R.sum(axis=1)  # object dtype: exact Python-int sums
         corr_vals = np.array(
             [(128 * _K8 * int(v) - ofs_total) % N for v in rowsums],
@@ -249,7 +250,7 @@ def make_mxu_tables(
     return MxuDirection(
         m, inverse, jnp.asarray(planes_np), jnp.asarray(planes_np.T.copy()),
         corr, N, pow(2, 128, N), pow(N, -1, 1 << 64),
-        block_b or _default_block_b(m),
+        block_b or MXU_BLOCK_B,
         scheme,
     )
 
@@ -309,8 +310,11 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
     for tt in range(n_out):
         if s8:
             # bias the signed plane non-negative; the bias is pre-folded
-            # into corr (|P| <= 8 * m * 2^14 <= 2^26 at m = 512)
-            P = (planes[tt] + jnp.int32(1 << 26)).astype(jnp.uint32)
+            # into corr.  |P| <= 8 * m * 2^14 = m << 17 EXACTLY (8 (a,b)
+            # pairs x m terms x 128*128) -- an m-independent 2^26 bias
+            # silently wrapped negative planes at m = 1024 (round-5
+            # review finding, test_s8_bias_covers_worst_case)
+            P = (planes[tt] + jnp.int32(m << 17)).astype(jnp.uint32)
             pos = 8 * tt
         else:
             P = planes[tt].astype(jnp.uint32)
@@ -653,12 +657,14 @@ def mxu_ntt(
     xh = x.hi.reshape(m, b)
     xl = x.lo.reshape(m, b)
     if tw is not None:
-        tw = _reshape_tw(tw, (m, b))
+        tw = montpair_map(lambda a: a.reshape(m, b), tw)
     if bp != b:
         xh = jnp.pad(xh, ((0, 0), (0, bp - b)))
         xl = jnp.pad(xl, ((0, 0), (0, bp - b)))
         if tw is not None:
-            tw = _pad_tw(tw, ((0, 0), (0, bp - b)))
+            tw = montpair_map(
+                lambda a: jnp.pad(a, ((0, 0), (0, bp - b))), tw
+            )
     mode, kfc = _tw_meta(tw, fc)
     oh, ol = _mxu_call(_meta(tables), False, mode, kfc)(
         xh, xl, tables.planes, tables.corr, tw
@@ -689,7 +695,7 @@ def mxu_ntt_mid(
         xh = jnp.pad(xh, pad)
         xl = jnp.pad(xl, pad)
     if tw is not None:
-        tw = _reshape_tw(tw, (a, 1, m))  # see w_spec layout note
+        tw = montpair_map(lambda v: v.reshape(a, 1, m), tw)  # w_spec layout
     mode, kfc = _tw_meta(tw, fc)
     oh, ol = _mxu_call(_meta(tables), True, mode, kfc)(
         xh, xl, tables.planes, tables.corr, tw
@@ -701,23 +707,4 @@ def mxu_ntt_mid(
     )
 
 
-def _reshape_tw(tw, shape):
-    from .twiddle import MontPair
 
-    w = U64(tw.w.hi.reshape(shape), tw.w.lo.reshape(shape))
-    if tw.wp is None:
-        return MontPair(w, None)
-    return MontPair(
-        w, U64(tw.wp.hi.reshape(shape), tw.wp.lo.reshape(shape))
-    )
-
-
-def _pad_tw(tw, pad):
-    from .twiddle import MontPair
-
-    w = U64(jnp.pad(tw.w.hi, pad), jnp.pad(tw.w.lo, pad))
-    if tw.wp is None:
-        return MontPair(w, None)
-    return MontPair(
-        w, U64(jnp.pad(tw.wp.hi, pad), jnp.pad(tw.wp.lo, pad))
-    )

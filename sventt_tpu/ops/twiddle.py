@@ -38,6 +38,17 @@ class MontPair(NamedTuple):
     wp: U64
 
 
+def montpair_map(f, tw: MontPair) -> MontPair:
+    """Apply an array transform to every limb plane of a MontPair,
+    preserving a missing (None) companion -- the one place for the
+    reshape/pad/transpose/slice plumbing that round 5 grew four copies
+    of."""
+    w = U64(f(tw.w.hi), f(tw.w.lo))
+    if tw.wp is None:
+        return MontPair(w, None)
+    return MontPair(w, U64(f(tw.wp.hi), f(tw.wp.lo)))
+
+
 @dataclass(frozen=True)
 class ForwardTables:
     """Per-stage DIF twiddles for a length-m leading-axis NTT.

@@ -148,8 +148,12 @@ class DistributedNTT:
             check_vma=False,
         )
         if enable_forward:
-            self._fwd_col = PlanTables(self._col_plan, mod, self.fc, inverse=False)
-            self._fwd_row = PlanTables(self._row_plan, mod, self.fc, inverse=False)
+            self._fwd_col = PlanTables(
+                self._col_plan, mod, self.fc, inverse=False, root_lead=False
+            )
+            self._fwd_row = PlanTables(
+                self._row_plan, mod, self.fc, inverse=False, root_lead=False
+            )
             # Inter-step twiddles live column-sharded on the device mesh.
             self._fwd_tw = jax.device_put(
                 row_twiddles(
@@ -161,8 +165,12 @@ class DistributedNTT:
                 jax.shard_map(self._forward_local, **smap)
             )
         if enable_inverse:
-            self._inv_col = PlanTables(self._col_plan, mod, self.fc, inverse=True)
-            self._inv_row = PlanTables(self._row_plan, mod, self.fc, inverse=True)
+            self._inv_col = PlanTables(
+                self._col_plan, mod, self.fc, inverse=True, root_lead=False
+            )
+            self._inv_row = PlanTables(
+                self._row_plan, mod, self.fc, inverse=True, root_lead=False
+            )
             self._inv_tw = jax.device_put(
                 row_twiddles(
                     mod, n0, n1, inverse=True, w_only=config.split_w_only
@@ -236,10 +244,9 @@ class DistributedNTT:
     # comm1 + max(colNTT+tw, comm2) + rowNTT instead of their sum.
 
     def _tw_slice(self, tw, sl):
-        w, wp = tw
-        sub_w = U64(w.hi[:, sl], w.lo[:, sl])
-        sub_wp = None if wp is None else U64(wp.hi[:, sl], wp.lo[:, sl])
-        return sub_w, sub_wp
+        from ..ops.twiddle import MontPair, montpair_map
+
+        return tuple(montpair_map(lambda a: a[:, sl], MontPair(*tw)))
 
     def _overlap_fwd_col_comm2(self, mat: U64, tw, col_tables) -> U64:
         import jax.numpy as jnp

@@ -109,10 +109,9 @@ def row_twiddles(
 
 
 def _transpose_pair(tw: MontPair) -> MontPair:
-    w = U64(jnp.transpose(tw.w.hi), jnp.transpose(tw.w.lo))
-    if tw.wp is None:
-        return MontPair(w, None)
-    return MontPair(w, U64(jnp.transpose(tw.wp.hi), jnp.transpose(tw.wp.lo)))
+    from ..ops.twiddle import montpair_map
+
+    return montpair_map(jnp.transpose, tw)
 
 
 @dataclass(frozen=True)
@@ -250,6 +249,7 @@ class PlanTables:
         transpose: str | None = None,
         max_r: int | None = None,
         tw_layout: str | None = None,
+        root_lead: bool = True,
     ):
         self.plan = plan
         self.mod = mod
@@ -263,13 +263,19 @@ class PlanTables:
         self.leaf: dict[int, object] = {}
         self.lane: dict[int, object] = {}  # lane-axis row-leaf tables
         self.split_tw: dict[tuple[int, int], MontPair] = {}
-        #: TRANSPOSED (m1, m0) inter-step tables for root mxu-row nodes:
-        #: the fused-twiddle lead kernel consumes the data's transposed
-        #: layout, and storing only this orientation avoids doubling the
-        #: top level's table bytes (the mid/batched path transposes back
-        #: on the fly in the rare batched-root case).
+        #: TRANSPOSED (m1, m0) inter-step tables for root mxu-row nodes
+        #: entered WITHOUT batch dims (``root_lead=True``, the public
+        #: wrapper's flat-vector entry): the fused-twiddle lead kernel
+        #: consumes the data's transposed layout, and storing only one
+        #: orientation avoids doubling the top level's table bytes.
+        #: Callers whose root is ALWAYS batched (DistributedNTT's local
+        #: plans: the shard's other axis is a batch dim on every call)
+        #: pass ``root_lead=False`` to store the normal (m0, m1)
+        #: orientation instead -- the mid path then never pays the
+        #: per-call table transpose that the cross-orientation fallback
+        #: in run_forward/run_inverse otherwise inserts into the trace.
         self.split_tw_t: dict[tuple[int, int], MontPair] = {}
-        self._prepare(plan, root=True)
+        self._prepare(plan, root=root_lead)
 
     @classmethod
     def _unflatten(cls, aux, children):

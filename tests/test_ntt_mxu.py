@@ -155,6 +155,69 @@ def test_mxu_rejects_oversize():
         ntt_mxu.make_mxu_tables(mod, 2 * ntt_mxu.MAX_MXU, inverse=False)
 
 
+def test_s8_bias_covers_worst_case():
+    """The per-plane bias (m << 17) must cover the most-negative output
+    plane reachable from the REAL table digits with legal byte planes
+    (round-5 review: a fixed 2^26 bias silently wrapped at m = 1024)."""
+    mod = Modulus(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR)
+    for m in (512, 1024):
+        t = ntt_mxu.make_mxu_tables(mod, m, inverse=False)
+        planes = np.asarray(t.planes).astype(np.int64)  # (8m, m)
+        D = planes.reshape(ntt_mxu.NL_S8, m, m)
+        # per (a, p): the minimal sum_j D*s over s in [-128, 127]
+        min_a = np.where(D > 0, -128 * D, 127 * D).sum(axis=2)  # (8, m)
+        worst = np.zeros((15, m), dtype=np.int64)
+        for a in range(8):
+            for b in range(8):
+                worst[a + b] += min_a[a]
+        assert int(worst.min()) >= -(m << 17), (m, int(worst.min()))
+        if m == 1024:
+            # the round-4 constant bias really was insufficient here
+            assert int(worst.min()) < -(1 << 26)
+
+
+def test_mxu_1024_adversarial_plane_minimizer():
+    """m = 1024 with an input crafted to drive output plane t = 7 of row 0
+    maximally negative (each byte sign-opposes the matching matrix digit)
+    -- the exact wrap scenario of the round-5 review finding.  The engine
+    accepts any u64 bit pattern (planes decompose raw bits; the result is
+    congruent to the reduced input's transform), so compare mod N against
+    the golden model of x mod N."""
+    mod = Modulus(FLAGSHIP_MODULUS, FLAGSHIP_GENERATOR)
+    fc = FieldConsts.from_modulus(mod, lazy=False)
+    m = 1024
+    t = ntt_mxu.make_mxu_tables(mod, m, inverse=False)
+    D = np.asarray(t.planes).astype(np.int64).reshape(ntt_mxu.NL_S8, m, m)
+    # choose the (row, plane) with the most negative reachable sum: for a
+    # fixed target plane t*, byte b of x_j pairs with the unique digit
+    # a = t* - b, so the per-(j, b) minimizing choices are independent
+    min_a = np.where(D > 0, -128 * D, 127 * D).sum(axis=2)  # (8, m)
+    worst = np.zeros((15, m), dtype=np.int64)
+    for a in range(8):
+        for b in range(8):
+            worst[a + b] += min_a[a]
+    tstar, pstar = np.unravel_index(np.argmin(worst), worst.shape)
+    x = np.zeros(m, dtype=np.uint64)
+    reach = 0
+    for j in range(m):
+        v = 0
+        for b in range(8):
+            a = tstar - b
+            if 0 <= a < 8:
+                d = D[a, pstar, j]
+                s = -128 if d > 0 else (127 if d < 0 else -128)
+                reach += int(d) * s
+            else:
+                s = -128
+            v |= (s + 128) << (8 * b)
+        x[j] = v
+    assert reach < -(1 << 26)  # the crafted input crosses the old bias
+    out = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x.reshape(m, 1)), t, fc))
+    golden = GoldenNTT(m, mod)
+    want = golden.forward([int(v) % mod.modulus for v in x])
+    assert [int(v) for v in out[:, 0]] == want
+
+
 def test_balanced8_digits_exact():
     """The scalar balanced-digit reference (_balanced8) is exact across
     its completeness range [-128K, 127K] (K = (2^64-1)/255), including
