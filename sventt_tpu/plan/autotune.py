@@ -511,8 +511,11 @@ def search(
         # build_plan default resolves to 512; 1024 is legal (MAX_MXU) and
         # raced here -- it loses at 2^28 (303 vs 252 ms) but the 2-level
         # plans it enables at 2^18-2^20 are genuine candidates.
+        # config.n == mf is allowed: build_plan then returns the SINGLE
+        # Leaf(n, mxu) -- one matrix kernel, no split levels -- a real
+        # candidate at n <= MAX_MXU the old `n <= mf` guard never raced
         for mf in (64, 128, 256, 1024):
-            if mf == (best_m.max_fused or 512) or config.n <= mf:
+            if mf == (best_m.max_fused or 512) or config.n < mf:
                 continue
             cand = best_m.with_(max_fused=mf)
             ms = timed(cand, f"mxu/max_fused={mf}")
