@@ -133,8 +133,18 @@ def _balanced8(r: int) -> list[int]:
 MXU_BLOCK_B = 128
 
 
-def _compiler_params(m: int, block_b: int):
-    need = 2 * NL_S8 * m * block_b * 4 + 15 * m * block_b * 4  # rough
+def _mat_dims(scheme: str, m: int) -> tuple[int, int]:
+    """(rows, cols) of the stacked matrix operand for one scheme."""
+    if scheme == "s8b":
+        return 15 * m, NL_S8 * m
+    if scheme == "s8":
+        return NL_S8 * m, m
+    return NL * m, m
+
+
+def _compiler_params(m: int, block_b: int, scheme: str = "s8"):
+    mr, mc = _mat_dims(scheme, m)
+    need = mr * mc + 2 * NL_S8 * m * block_b * 4 + 15 * m * block_b * 4
     if need <= 12 * 2**20:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
@@ -185,8 +195,12 @@ def make_mxu_tables(
 
     if m < 2 or m & (m - 1) or m > MAX_MXU:
         raise ValueError(f"mxu engine supports power-of-two m in [2, {MAX_MXU}]")
-    if scheme not in ("s8", "u7"):
+    if scheme not in ("s8", "s8b", "u7"):
         raise ValueError(f"unknown mxu plane scheme {scheme!r}")
+    if scheme == "s8b" and m > 512:
+        # the banded (15m, 8m) matrix is 120*m^2 bytes: 126 MB at m=1024
+        # exceeds the chip's VMEM; 512 (31.5 MB) fits under the raised limit
+        raise ValueError("scheme 's8b' supports m <= 512")
     N = mod.modulus
     perm = bitreverse_permutation(m)
     r64 = (1 << 64) % N
@@ -207,7 +221,7 @@ def make_mxu_tables(
             for p in range(m):
                 M[k, p] = pow(base, perm[p], N) * s % N * r64 % N
     corr = None
-    if scheme == "s8":
+    if scheme in ("s8", "s8b"):
         # Minimal-magnitude residues, 8 balanced digits each; the per-row
         # constant folds the data-plane offset (+128 per byte) and the
         # output-plane bias (+2^26 per plane) into one mod-N value.
@@ -225,7 +239,23 @@ def make_mxu_tables(
             digs.append(d.astype(np.int8))
             r = (r - d) >> 8  # exact: r - d divisible by 256
         assert not r.any(), "residue outside the 8-digit balanced range"
-        planes_np = np.concatenate(digs, axis=0)
+        if scheme == "s8b":
+            # Block-banded (15m, 8m) matrix: output plane t's row block
+            # holds digit plane d_{t-b} at data-plane column block b, so
+            # ONE int8 matmul against the stacked (8m, B) byte planes
+            # yields the 15 output planes directly -- the 49 per-point
+            # plane-merge adds of the "s8" VPU tail move onto the MXU
+            # (120 vs 64 m^2 MACs; the matmuls are nearly free while the
+            # merge adds are ~30% of the measured level cost).
+            G = np.zeros((15 * m, NL_S8 * m), dtype=np.int8)
+            for tt in range(15):
+                for b in range(NL_S8):
+                    a = tt - b
+                    if 0 <= a < NL_S8:
+                        G[tt * m:(tt + 1) * m, b * m:(b + 1) * m] = digs[a]
+            planes_np = G
+        else:
+            planes_np = np.concatenate(digs, axis=0)
         # per-plane bias m << 17 == the exact worst-case |P_t| (see
         # _mxu_body); must match the kernel's literal
         ofs_total = (m << 17) * sum(1 << (8 * t) for t in range(15))
@@ -266,11 +296,13 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
     dominate the level cost; it is elementwise and orientation-agnostic.
     """
     m = t.m
-    s8 = t.scheme == "s8"
+    s8 = t.scheme in ("s8", "s8b")
+    banded = t.scheme == "s8b"
     np_in = NL_S8 if s8 else NL  # input (data) planes
     np_mat = NL_S8 if s8 else NL  # stacked matrix plane groups
     n_out = 15 if s8 else 2 * NL - 1
     planes = [None] * n_out
+    xis = []  # banded: stacked-dot operands
     for i in range(np_in):
         if s8:
             # byte-aligned offset-encoded planes: s = byte - 128
@@ -288,6 +320,9 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
             else:
                 v = ((xlv >> np.uint32(lo_bit)) | (xhv << np.uint32(32 - lo_bit))) & np.uint32(0x7F)
             Xi = v.astype(jnp.int8)
+        if banded:
+            xis.append(Xi)
+            continue
         if lane:
             # mm here is planes_t (m, NP*m): a plain matmul
             Ci = jax.lax.dot_general(
@@ -305,6 +340,25 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
             blk = Cir[:, k, :] if lane else Cir[k]
             tt = i + k
             planes[tt] = blk if planes[tt] is None else planes[tt] + blk
+    if banded:
+        # ONE banded dot yields the 15 output planes -- no VPU merges and
+        # 4x less int32 product materialization (15mB vs 64mB words)
+        if lane:
+            Xa = jnp.concatenate(xis, axis=1)  # (rows, 8m)
+            C = jax.lax.dot_general(
+                Xa, mm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (rows, 15m); mm = planes_t (8m, 15m)
+            Cr = C.reshape(xhv.shape[0], n_out, m)
+            planes = [Cr[:, tt, :] for tt in range(n_out)]
+        else:
+            Xa = jnp.concatenate(xis, axis=0)  # (8m, BT)
+            C = jax.lax.dot_general(
+                mm, Xa, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (15m, BT)
+            Cr = C.reshape(n_out, m, xhv.shape[-1])
+            planes = [Cr[tt] for tt in range(n_out)]
     z = jnp.zeros_like(xhv)
     A = [U64(z, z) for _ in range(6)]
     for tt in range(n_out):
@@ -419,9 +473,9 @@ def _mxu_lane_call(meta: tuple):
         m, inverse, None, None, None, modulus, c128, nprime, block_b, scheme
     )
     rows = MXU_LANE_ROWS
-    npl = NL_S8 if scheme == "s8" else NL
+    mat_r, mat_c = _mat_dims(scheme, m)
 
-    if scheme == "s8":
+    if scheme in ("s8", "s8b"):
 
         def kernel(xh_ref, xl_ref, m_ref, ch_ref, cl_ref, oh_ref, ol_ref):
             # corr indexed by output row p = the last (transformed) axis
@@ -442,12 +496,12 @@ def _mxu_lane_call(meta: tuple):
             (rows, m), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         m_spec = pl.BlockSpec(
-            (m, npl * m), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (mat_c, mat_r), lambda i: (0, 0), memory_space=pltpu.VMEM
         )
         c_spec = pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM)
         args = [xh, xl, planes_t]
         in_specs = [x_spec, x_spec, m_spec]
-        if scheme == "s8":
+        if scheme in ("s8", "s8b"):
             args += [corr.hi, corr.lo]
             in_specs += [c_spec, c_spec]
         return pl.pallas_call(
@@ -459,8 +513,8 @@ def _mxu_lane_call(meta: tuple):
             interpret=_use_interpret(),
             **(
                 {}
-                if _use_interpret() or _compiler_params(m, block_b) is None
-                else {"compiler_params": _compiler_params(m, block_b)}
+                if _use_interpret() or _compiler_params(m, block_b, scheme) is None
+                else {"compiler_params": _compiler_params(m, block_b, scheme)}
             ),
         )(*args)
 
@@ -515,8 +569,8 @@ def _mxu_call(meta: tuple, mid: bool, tw_mode: str = "none",
     t = MxuDirection(
         m, inverse, None, None, None, modulus, c128, nprime, block_b, scheme
     )
-    npl = NL_S8 if scheme == "s8" else NL
-    s8 = scheme == "s8"
+    mat_r, mat_c = _mat_dims(scheme, m)
+    s8 = scheme in ("s8", "s8b")
     n_tw = {"none": 0, "w": 2, "pair": 4}[tw_mode]
 
     def kernel(*refs):
@@ -565,7 +619,7 @@ def _mxu_call(meta: tuple, mid: bool, tw_mode: str = "none",
                 memory_space=pltpu.VMEM,
             )
             m_spec = pl.BlockSpec(
-                (npl * m, m), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (mat_r, mat_c), lambda i, j: (0, 0), memory_space=pltpu.VMEM
             )
             c_spec = pl.BlockSpec(
                 (1, m), lambda i, j: (0, 0), memory_space=pltpu.VMEM
@@ -585,7 +639,7 @@ def _mxu_call(meta: tuple, mid: bool, tw_mode: str = "none",
                 (m, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
             )
             m_spec = pl.BlockSpec(
-                (npl * m, m), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (mat_r, mat_c), lambda i: (0, 0), memory_space=pltpu.VMEM
             )
             c_spec = pl.BlockSpec(
                 (1, m), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -612,8 +666,8 @@ def _mxu_call(meta: tuple, mid: bool, tw_mode: str = "none",
             interpret=_use_interpret(),
             **(
                 {}
-                if _use_interpret() or _compiler_params(m, block_b) is None
-                else {"compiler_params": _compiler_params(m, block_b)}
+                if _use_interpret() or _compiler_params(m, block_b, scheme) is None
+                else {"compiler_params": _compiler_params(m, block_b, scheme)}
             ),
         )(*args)
 

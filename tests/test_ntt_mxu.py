@@ -274,6 +274,13 @@ def test_mxu_schemes_agree(rng, N, g):
     got_s8 = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), ts, fc))
     got_u7 = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), tu, fc))
     np.testing.assert_array_equal(got_s8, got_u7)
+    # banded variant: same digits as one block-banded matmul (truthfully
+    # measured SLOWER than s8 -- experimental/r5_banded_ab.py -- but kept
+    # as a raceable, bit-exact A/B scheme)
+    tb = ntt_mxu.make_mxu_tables(mod, m, inverse=False, scheme="s8b")
+    assert tb.planes.shape == (15 * m, ntt_mxu.NL_S8 * m)
+    got_b = u64_to_numpy(ntt_mxu.mxu_ntt(u64_from_numpy(x), tb, fc))
+    np.testing.assert_array_equal(got_b, got_s8)
 
 
 def test_mxu_small_modulus_f4(rng):
