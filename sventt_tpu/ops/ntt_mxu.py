@@ -361,6 +361,7 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
             planes = [Cr[tt] for tt in range(n_out)]
     z = jnp.zeros_like(xhv)
     A = [U64(z, z) for _ in range(6)]
+    spill = [None] * 6
     for tt in range(n_out):
         if s8:
             # bias the signed plane non-negative; the bias is pre-folded
@@ -377,7 +378,17 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
         lo = (P << np.uint32(sh)) if sh else P
         A[w] = u64_add(A[w], U64(z, lo))
         if sh:
-            A[w + 1] = u64_add(A[w + 1], U64(z, P >> np.uint32(32 - sh)))
+            # hi spills are SMALL (s8: biased P <= 2m*2^17 <= 2^28, min
+            # shift 8 -> spill <= 2^20; u7: P < 2^27.4, min shift 4 ->
+            # spill < 2^23.4) and each word receives <= 4 of them, so
+            # their plain-u32 sum cannot wrap: pre-summing turns the 11
+            # per-plane u64_adds (carry compare + hi add each) into 4
+            # (one per receiving word) -- ~8% off the accumulation tail
+            sp = P >> np.uint32(32 - sh)
+            spill[w + 1] = sp if spill[w + 1] is None else spill[w + 1] + sp
+    for w in range(6):
+        if spill[w] is not None:
+            A[w] = u64_add(A[w], U64(z, spill[w]))
     if s8:
         zc = jnp.uint32(0)
         A[0] = u64_add(A[0], U64(zc, corr.lo))
