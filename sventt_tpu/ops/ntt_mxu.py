@@ -305,12 +305,14 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
     xis = []  # banded: stacked-dot operands
     for i in range(np_in):
         if s8:
-            # byte-aligned offset-encoded planes: s = byte - 128
+            # byte-aligned offset-encoded planes: s = byte - 128, via the
+            # bias-flip identity (byte ^ 0x80 reinterpreted as int8 ==
+            # byte - 128 exactly) -- one XOR instead of widen/sub/narrow
             lo_bit = 8 * i
             src = xlv if lo_bit < 32 else xhv
             sh = lo_bit & 31
-            v = (src >> np.uint32(sh)) & np.uint32(0xFF)
-            Xi = (v.astype(jnp.int32) - jnp.int32(128)).astype(jnp.int8)
+            v = ((src >> np.uint32(sh)) & np.uint32(0xFF)) ^ np.uint32(0x80)
+            Xi = v.astype(jnp.int8)
         else:
             lo_bit = 7 * i
             if lo_bit + 7 <= 32:
