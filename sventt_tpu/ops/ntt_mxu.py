@@ -365,12 +365,12 @@ def _mxu_body(t: MxuDirection, xhv, xlv, mm, corr=None, lane: bool = False):
     # Carry-free pre-sums: each word's hi spills AND its unshifted
     # (sh == 0) plane sum in PLAIN u32 -- they cannot wrap: spills are
     # P >> (32-sh) <= 2^21 (s8, biased P <= 2m*2^17 <= 2^28, min shift
-    # 8) / < 2^26.5 (u7, P < 2^27.4, min shift 1) with <= 4 per word,
-    # and at most one unshifted plane (<= 2^28) joins a word, so every
-    # small[w] stays < 2^29 (s8) / 2^28.5 (u7).  Only the full-range
-    # SHIFTED lo parts need carried u64_adds: 11 of 15+11 adds become
-    # u32 adds or the word's free init -- measured -5% per level at
-    # m=256 and another -3% from folding the unshifted planes.
+    # 8; <= 3 per word) / < 2^26.5 (u7, P < 2^27.4, min shift 1; <= 5
+    # per word), and at most one unshifted plane (<= 2^28) joins a
+    # word, so every small[w] stays < 2^29 (s8) / 2^29.1 (u7).  Only
+    # the full-range SHIFTED lo parts need carried u64_adds: 11 of the
+    # 26 s8 word-adds become u32 adds or the word's free init --
+    # measured -5% per m=256 level (0.638 -> 0.604 ms).
     small = [None] * 6  # u32 pre-sums (unshifted planes + hi spills)
     los = [[] for _ in range(6)]  # full-range shifted lo parts
     for tt in range(n_out):
